@@ -1,0 +1,110 @@
+"""Small dense linear-algebra utilities shared by both estimators.
+
+TPU-native replacements for the reference's Eigen helpers:
+``makeSymmetric`` (slam.h:776-779), ``choleskyDecomposition`` with its
+eigendecomposition fallback and zero-on-NaN guard (slam.h:413-436), and the
+closed-form 2x2 / 3x3 inverses that the PF proposal needs in bulk
+(PF.cpp:518-527).  Everything is jit-safe, batched, and guards numerical
+failure with masked ``where`` fallbacks instead of try/catch
+(the reference's degrade-don't-crash behaviour, slam.h:241-265).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Matmul precision for covariance algebra: the filters are float32 and TPU
+# matmuls default to bfloat16 inputs; covariance updates lose positive
+# definiteness without full fp32 precision (SURVEY.md section 7.3 item 3).
+PRECISION = jax.lax.Precision.HIGHEST
+
+
+def sym(a):
+    """(A + A^T)/2 over the last two axes.  Reference ``makeSymmetric``."""
+    return 0.5 * (a + jnp.swapaxes(a, -1, -2))
+
+
+def safe_cholesky(s, jitter: float = 0.0):
+    """Lower Cholesky factor of a symmetric PSD matrix with a finite guard.
+
+    The reference falls back to an eigendecomposition square root for
+    semi-definite inputs and zeroes the factor on NaN (slam.h:421-434).  On
+    TPU a data-dependent fallback would force both paths to compile and the
+    eigensolver is slow; instead we add an optional diagonal jitter and zero
+    the result where non-finite, preserving the reference's
+    "degrade, don't crash" contract.
+    """
+    n = s.shape[-1]
+    if jitter:
+        s = s + jitter * jnp.eye(n, dtype=s.dtype)
+    chol = jnp.linalg.cholesky(sym(s))
+    finite = jnp.all(jnp.isfinite(chol), axis=(-2, -1), keepdims=True)
+    return jnp.where(finite, chol, jnp.zeros_like(chol))
+
+
+def inv2(m):
+    """Closed-form inverse of (..., 2, 2) matrices (VPU-only, no LU)."""
+    a = m[..., 0, 0]
+    b = m[..., 0, 1]
+    c = m[..., 1, 0]
+    d = m[..., 1, 1]
+    det = a * d - b * c
+    idet = jnp.where(det != 0, 1.0 / det, 0.0)
+    return jnp.stack(
+        [
+            jnp.stack([d * idet, -b * idet], axis=-1),
+            jnp.stack([-c * idet, a * idet], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def det2(m):
+    return m[..., 0, 0] * m[..., 1, 1] - m[..., 0, 1] * m[..., 1, 0]
+
+
+def inv3(m):
+    """Closed-form adjugate inverse of (..., 3, 3) matrices."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    ca = e * i - f * h
+    cb = -(d * i - f * g)
+    cc = d * h - e * g
+    det = a * ca + b * cb + c * cc
+    idet = jnp.where(det != 0, 1.0 / det, 0.0)
+    adj = jnp.stack(
+        [
+            jnp.stack([ca, -(b * i - c * h), b * f - c * e], axis=-1),
+            jnp.stack([cb, a * i - c * g, -(a * f - c * d)], axis=-1),
+            jnp.stack([cc, -(a * h - b * g), a * e - b * d], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj * idet[..., None, None]
+
+
+def solve_psd(s, b, jitter: float = 0.0):
+    """Solve S x = b for symmetric positive-definite S via Cholesky."""
+    chol = safe_cholesky(s, jitter)
+    return jax.scipy.linalg.cho_solve((chol, True), b)
+
+
+def mvn_logpdf(v, s, jitter: float = 0.0):
+    """Log-density of N(0, S) at innovation(s) ``v`` (..., d).
+
+    Correct log-space version of the reference's ``gaussEvaluate``
+    (PF.cpp:279-317) whose log branch mistakenly sums the Cholesky diagonal
+    instead of its log (SURVEY.md defect 7); the likelihood branch
+    (PF.cpp:306-307) is the exp of this value.
+    """
+    d = v.shape[-1]
+    chol = safe_cholesky(s, jitter)
+    # Normalised innovation: solve L y = v.
+    y = jax.scipy.linalg.solve_triangular(chol, v[..., None], lower=True)[..., 0]
+    maha = jnp.sum(y * y, axis=-1)
+    logdet = 2.0 * jnp.sum(
+        jnp.log(jnp.maximum(jnp.diagonal(chol, axis1=-2, axis2=-1), 1e-30)), axis=-1
+    )
+    return -0.5 * (maha + logdet + d * jnp.log(2.0 * jnp.pi))

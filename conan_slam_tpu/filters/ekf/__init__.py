@@ -1,0 +1,55 @@
+"""EKF-SLAM estimator: one joint Gaussian over pose + landmark map.
+
+TPU-native equivalent of the reference ``EKF`` engine
+(EKF.h:5-340, EKF.cpp:1-496); see the submodules for per-kernel mapping.
+"""
+
+from conan_slam_tpu.filters.ekf.state import EKFState, init_state
+from conan_slam_tpu.filters.ekf.predict import predict
+from conan_slam_tpu.filters.ekf.observe import observe_heading
+from conan_slam_tpu.filters.ekf.associate import (
+    AssociationResult,
+    associate_gated,
+    associate_known,
+)
+from conan_slam_tpu.filters.ekf.update import batch_update, sequential_update, update
+from conan_slam_tpu.filters.ekf.augment import augment
+
+from conan_slam_tpu.filters.common import CompactObs
+
+
+def observation_step(
+    state: EKFState,
+    obs: CompactObs,
+    r_cov,
+    *,
+    association_known: bool,
+    batch: bool,
+    gate_reject: float,
+    gate_augment: float,
+) -> EKFState:
+    """Associate -> update -> augment, mirroring the driver's observation
+    branch (reference test/main.cpp:183-197)."""
+    if association_known:
+        assoc = associate_known(state, obs)
+    else:
+        assoc = associate_gated(state, obs, r_cov, gate_reject, gate_augment)
+    state = update(state, obs, assoc.slots, assoc.known_mask, r_cov, batch)
+    state = augment(state, obs, assoc.new_mask, r_cov)
+    return state
+
+
+__all__ = [
+    "EKFState",
+    "init_state",
+    "predict",
+    "observe_heading",
+    "AssociationResult",
+    "associate_known",
+    "associate_gated",
+    "batch_update",
+    "sequential_update",
+    "update",
+    "augment",
+    "observation_step",
+]

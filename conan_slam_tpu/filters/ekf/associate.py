@@ -1,0 +1,111 @@
+"""Data association: known-table and Mahalanobis-gated nearest neighbour.
+
+Reference: ``EKF::dataAssociateTable`` (EKF.cpp:146-233) and
+``EKF::dataAssociate`` / ``computeAssociation`` (EKF.cpp:235-326, 131-144).
+
+TPU-first redesign: the reference compacts measurements into known (ZF) /
+new (ZN) matrices and runs an O(nz * nf) scalar double loop; here association
+is a dense masked computation — a (NZ, K) NIS matrix from batched 2x2 block
+algebra, a masked argmin per measurement, and boolean known/new masks over the
+fixed-size measurement buffer.  (The reference's gated path also has a dead
+new-feature output, SURVEY.md defect 4 — fixed by construction here.)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from conan_slam_tpu.core.geometry import wrap_angle
+from conan_slam_tpu.core.linalg import PRECISION, det2, inv2
+from conan_slam_tpu.filters.common import CompactObs
+from conan_slam_tpu.filters.ekf.state import EKFState
+from conan_slam_tpu.models import sensor
+
+
+class AssociationResult(NamedTuple):
+    known_mask: jax.Array  # (NZ,) bool: measurement matched to an active slot
+    slots: jax.Array       # (NZ,) int32 matched slot (valid where known_mask)
+    new_mask: jax.Array    # (NZ,) bool: measurement should found a new feature
+
+
+def associate_known(state: EKFState, obs: CompactObs) -> AssociationResult:
+    """Ground-truth association via the id -> slot table.
+
+    Reference EKF.cpp:169-182: a measurement whose landmark id is already in
+    the table is a known feature; otherwise it is new.  Table/slot assignment
+    for new features happens in ``augment`` (the reference does it inside
+    dataAssociateTable, EKF.cpp:213-226 — same net effect, one owner here).
+    """
+    safe_ids = jnp.maximum(obs.ids, 0)
+    slots = state.table[safe_ids]
+    known = jnp.logical_and(obs.mask, slots >= 0)
+    new = jnp.logical_and(obs.mask, slots < 0)
+    return AssociationResult(known_mask=known, slots=jnp.maximum(slots, 0), new_mask=new)
+
+
+def _innovation_stats(state: EKFState, r_cov):
+    """Per-active-slot predicted measurement and innovation covariance.
+
+    S_j = [Hv Hf] [[Pvv, Pvj], [Pjv, Pjj]] [Hv Hf]^T + R, assembled from the
+    pose block, the pose-feature strip and the (K, 2, 2) diagonal feature
+    blocks of P — no dense (2, D) rows are materialised (cf. the reference's
+    full H P H^T per pair, EKF.cpp:140).
+    """
+    k = state.capacity
+    zp, hv, hf = sensor.observe(state.pose, state.features)  # (K,2) (K,2,3) (K,2,2)
+    pvv = state.p[:3, :3]
+    pvm = state.p[:3, 3:].reshape(3, k, 2).transpose(1, 0, 2)       # (K, 3, 2)
+    pmm = state.p[3:, 3:].reshape(k, 2, k, 2)
+    idx = jnp.arange(k)
+    pjj = pmm[idx, :, idx, :]                                       # (K, 2, 2)
+
+    hv_p = jnp.einsum("kab,bc->kac", hv, pvv, precision=PRECISION)       # Hv Pvv
+    cross = jnp.einsum("kab,kbc,kdc->kad", hv, pvm, hf, precision=PRECISION)  # Hv Pvj Hf^T
+    s = (
+        jnp.einsum("kab,kcb->kac", hv_p, hv, precision=PRECISION)
+        + cross
+        + cross.transpose(0, 2, 1)
+        + jnp.einsum("kab,kbc,kdc->kad", hf, pjj, hf, precision=PRECISION)
+        + r_cov
+    )
+    return zp, s
+
+
+def associate_gated(
+    state: EKFState, obs: CompactObs, r_cov, gate_reject, gate_augment
+) -> AssociationResult:
+    """Gated nearest-neighbour association (reference EKF.cpp:263-296).
+
+    For each measurement i and active slot j:
+        nis_ij = v^T S_j^-1 v,   nd_ij = nis_ij + log |S_j|
+    Accept the nd-argmin among slots passing ``nis < gate_reject``
+    (EKF.cpp:275-279); measurements whose best NIS exceeds ``gate_augment``
+    found new features (EKF.cpp:292-295).
+    """
+    zp, s = _innovation_stats(state, r_cov)                   # (K,2), (K,2,2)
+    sinv = inv2(s)
+    logdet = jnp.log(jnp.maximum(det2(s), 1e-30))
+
+    v = obs.z[:, None, :] - zp[None, :, :]                    # (NZ, K, 2)
+    v = v.at[..., 1].set(wrap_angle(v[..., 1]))
+    nis = jnp.einsum("ika,kab,ikb->ik", v, sinv, v, precision=PRECISION)
+    nd = nis + logdet[None, :]
+
+    active = state.active_mask[None, :]                       # (1, K)
+    inf = jnp.inf
+    nis_act = jnp.where(active, nis, inf)
+    gated = nis_act < gate_reject
+    nd_gated = jnp.where(gated, nd, inf)
+
+    jbest = jnp.argmin(nd_gated, axis=1).astype(jnp.int32)    # (NZ,)
+    found = jnp.any(gated, axis=1)
+
+    known = jnp.logical_and(obs.mask, found)
+    min_nis = jnp.min(nis_act, axis=1)                        # inf when map empty
+    new = jnp.logical_and(
+        obs.mask, jnp.logical_and(jnp.logical_not(found), min_nis > gate_augment)
+    )
+    return AssociationResult(known_mask=known, slots=jbest, new_mask=new)

@@ -1,0 +1,52 @@
+"""Static-capacity EKF-SLAM state.
+
+The reference grows ``X``/``P`` dynamically as landmarks are found
+(EKF.cpp:41, 69) — impossible under XLA's static-shape model.  Here the joint
+state is pre-allocated at capacity ``K = max_landmarks`` slots (state dim
+D = 3 + 2K) with an active-slot count and a landmark-id -> slot table
+(the reference's ``mTABLE``, slam.h:105, kept 0-based with -1 = unknown).
+Inactive slots hold zeros and are excluded from every kernel by masking.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class EKFState(NamedTuple):
+    x: jax.Array         # (3 + 2K,) joint mean: pose (x, y, phi) then K slots
+    p: jax.Array         # (3 + 2K, 3 + 2K) joint covariance
+    n_active: jax.Array  # () int32 number of active map slots
+    table: jax.Array     # (num_landmark_ids,) int32 id -> slot, -1 unknown
+
+    @property
+    def capacity(self) -> int:
+        return (self.x.shape[0] - 3) // 2
+
+    @property
+    def pose(self) -> jax.Array:
+        return self.x[:3]
+
+    @property
+    def features(self) -> jax.Array:
+        """Map slot positions as (K, 2)."""
+        return self.x[3:].reshape(self.capacity, 2)
+
+    @property
+    def active_mask(self) -> jax.Array:
+        """(K,) bool mask of active slots."""
+        return jnp.arange(self.capacity) < self.n_active
+
+
+def init_state(capacity: int, num_landmark_ids: int, dtype=jnp.float32) -> EKFState:
+    """Zero pose, zero covariance, empty map (reference test/main.cpp:106-108)."""
+    d = 3 + 2 * capacity
+    return EKFState(
+        x=jnp.zeros((d,), dtype=dtype),
+        p=jnp.zeros((d, d), dtype=dtype),
+        n_active=jnp.int32(0),
+        table=jnp.full((num_landmark_ids,), -1, dtype=jnp.int32),
+    )

@@ -1,0 +1,150 @@
+"""End-to-end simulation loops as jitted ``lax.scan`` programs.
+
+Reference: the two inline ``while (iwp ...)`` driver loops in
+test/main.cpp:132-200 (EKF) and 204-335 (PF).  Here each loop is a single
+pure step function scanned over a static step count with a ``done`` flag
+(the reference's loop-exit condition), compiled once and run entirely
+on device — no host round-trips inside the hot loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from conan_slam_tpu.config import SlamConfig
+from conan_slam_tpu.filters import ekf as ekf_mod
+from conan_slam_tpu.filters.common import compact
+from conan_slam_tpu.models import motion
+from conan_slam_tpu.sim import sensor_sim
+from conan_slam_tpu.sim.steering import SteerState, init_steer_state, steer
+from conan_slam_tpu.sim.world import World
+
+
+class NoiseCovs(NamedTuple):
+    """True and filter (inflated) noise covariances.
+
+    Reference test/main.cpp:93-129: Q/R from the sigmas; QE/RE inflated when
+    ``switch_inflate_noise`` (QE=2Q; RE=8R for EKF, 2R for PF).
+    """
+
+    q: jax.Array    # (2, 2) true control noise
+    r: jax.Array    # (2, 2) true observation noise
+    qe: jax.Array   # (2, 2) filter control noise
+    re: jax.Array   # (2, 2) filter observation noise
+
+
+def make_noise(cfg: SlamConfig, estimator: str = "ekf") -> NoiseCovs:
+    q = jnp.diag(jnp.asarray([cfg.sigma_v**2, cfg.sigma_swa**2], jnp.float32))
+    r = jnp.diag(jnp.asarray([cfg.sigma_r**2, cfg.sigma_b**2], jnp.float32))
+    if cfg.switch_inflate_noise:
+        r_mult = cfg.r_inflate_ekf if estimator == "ekf" else cfg.r_inflate_pf
+        return NoiseCovs(q=q, r=r, qe=cfg.q_inflate * q, re=r_mult * r)
+    return NoiseCovs(q=q, r=r, qe=q, re=r)
+
+
+class EKFSimCarry(NamedTuple):
+    steer: SteerState
+    x_true: jax.Array       # (3,) ground-truth pose
+    state: ekf_mod.EKFState
+    step_in_frame: jax.Array  # () int32 control steps since last observation
+    key: jax.Array
+
+
+class SimOutputs(NamedTuple):
+    x_true: jax.Array   # (T, 3)
+    x_est: jax.Array    # (T, 3)
+    done: jax.Array     # (T,) bool
+    n_active: jax.Array  # (T,) int32 map size
+
+
+def _advance_truth(carry_steer, x_true, world, cfg, key):
+    """Steering controller + ground-truth motion + noisy odometry.
+
+    Shared by both estimators (reference test/main.cpp:140-162, 255-277).
+    """
+    st = steer(
+        carry_steer,
+        x_true,
+        world.waypoints,
+        at_waypoint=cfg.at_waypoint,
+        rate_swa=cfg.rate_swa,
+        max_swa=cfg.max_swa,
+        dt=cfg.dt_controls,
+    )
+    x_true_new = motion.step(x_true, cfg.velocity, st.swa, cfg.wheel_base, cfg.dt_controls)
+    x_true_new = jnp.where(st.done, x_true, x_true_new)
+    vn, swan = sensor_sim.add_control_noise(
+        key, cfg.velocity, st.swa, cfg.sigma_v, cfg.sigma_swa, cfg.switch_control_noise
+    )
+    return st, x_true_new, vn, swan
+
+
+def ekf_sim_step(carry: EKFSimCarry, _, *, cfg: SlamConfig, world: World, noise: NoiseCovs):
+    key, k_ctrl, k_obs = jax.random.split(carry.key, 3)
+    was_done = carry.steer.done
+
+    st, x_true, vn, swan = _advance_truth(carry.steer, carry.x_true, world, cfg, k_ctrl)
+
+    # --- EKF predict (reference main.cpp:165) ---
+    state = ekf_mod.predict(carry.state, vn, swan, noise.qe, cfg.wheel_base, cfg.dt_controls)
+
+    # --- heading pseudo-observation every control step (main.cpp:168) ---
+    if cfg.switch_heading_known:
+        state = ekf_mod.observe_heading(state, x_true[2], cfg.sigma_heading)
+
+    # --- observation update every observe_interval steps (main.cpp:171-199) ---
+    step_in_frame = carry.step_in_frame + 1
+    do_obs = jnp.logical_and(step_in_frame >= cfg.observe_interval, jnp.logical_not(st.done))
+    step_in_frame = jnp.where(do_obs, 0, step_in_frame)
+
+    nz = min(world.num_landmarks, cfg.max_observations())
+
+    def obs_branch(state):
+        obs_full = sensor_sim.get_observations(x_true, world.landmarks, cfg.max_range)
+        obs_full = sensor_sim.add_observation_noise(
+            k_obs, obs_full, cfg.sigma_r, cfg.sigma_b, cfg.switch_sensor_noise
+        )
+        obs = compact(obs_full, nz)
+        return ekf_mod.observation_step(
+            state,
+            obs,
+            noise.re,
+            association_known=cfg.switch_association_known,
+            batch=cfg.switch_batch_update,
+            gate_reject=cfg.gate_reject,
+            gate_augment=cfg.gate_augment,
+        )
+
+    state = jax.lax.cond(do_obs, obs_branch, lambda s: s, state)
+
+    # Freeze filter state once the course is complete.
+    state = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(was_done, old, new), state, carry.state
+    )
+
+    out = SimOutputs(
+        x_true=x_true, x_est=state.x[:3], done=st.done, n_active=state.n_active
+    )
+    return EKFSimCarry(steer=st, x_true=x_true, state=state, step_in_frame=step_in_frame, key=key), out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps"))
+def run_ekf_slam(world: World, cfg: SlamConfig, key: jax.Array, n_steps: int = 25_000):
+    """Full EKF-SLAM valet-loop simulation (reference test/main.cpp:89-201).
+
+    Returns (final_carry, SimOutputs) with per-step trajectories.
+    """
+    noise = make_noise(cfg, "ekf")
+    carry = EKFSimCarry(
+        steer=init_steer_state(cfg.number_loops),
+        x_true=jnp.zeros((3,), jnp.float32),
+        state=ekf_mod.init_state(cfg.max_landmarks, world.num_landmarks),
+        step_in_frame=jnp.int32(0),
+        key=key,
+    )
+    step = functools.partial(ekf_sim_step, cfg=cfg, world=world, noise=noise)
+    return jax.lax.scan(step, carry, None, length=n_steps)

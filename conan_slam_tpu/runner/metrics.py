@@ -1,0 +1,50 @@
+"""Trajectory and consistency metrics.
+
+The reference has no metrics at all — "verification" is a human reading
+stdout (test/main.cpp:134-137; SURVEY.md section 4).  These are the explicit
+automated oracles: ATE against ground truth (the BASELINE.json accuracy
+metric), plus filter-consistency statistics.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from conan_slam_tpu.core.geometry import wrap_angle
+
+
+def ate_rmse(x_true, x_est, valid=None):
+    """Absolute trajectory error (position RMSE) over a run.
+
+    Args:
+      x_true, x_est: (T, 3) pose trajectories.
+      valid: optional (T,) bool — steps to include (pre-``done`` steps).
+    """
+    err2 = jnp.sum((x_true[:, :2] - x_est[:, :2]) ** 2, axis=-1)
+    if valid is None:
+        return jnp.sqrt(jnp.mean(err2))
+    w = valid.astype(err2.dtype)
+    return jnp.sqrt(jnp.sum(err2 * w) / jnp.maximum(jnp.sum(w), 1.0))
+
+
+def heading_rmse(x_true, x_est, valid=None):
+    err2 = wrap_angle(x_true[:, 2] - x_est[:, 2]) ** 2
+    if valid is None:
+        return jnp.sqrt(jnp.mean(err2))
+    w = valid.astype(err2.dtype)
+    return jnp.sqrt(jnp.sum(err2 * w) / jnp.maximum(jnp.sum(w), 1.0))
+
+
+def map_rmse(landmarks_true, features_est, active_mask, table):
+    """RMSE of estimated landmark positions over active slots.
+
+    ``table`` maps landmark id -> slot, so each active slot is compared with
+    the ground-truth landmark that founded it.
+    """
+    num_ids = table.shape[0]
+    slot_of_id = table  # (num_ids,)
+    has_slot = slot_of_id >= 0
+    est = features_est[jnp.clip(slot_of_id, 0, features_est.shape[0] - 1)]
+    err2 = jnp.sum((est - landmarks_true) ** 2, axis=-1)
+    w = has_slot.astype(err2.dtype)
+    return jnp.sqrt(jnp.sum(err2 * w) / jnp.maximum(jnp.sum(w), 1.0))
