@@ -1,0 +1,60 @@
+"""On-device stratified resampling.
+
+Reference: ``PF::resampleParticles`` / ``stratifiedResample`` /
+``stratifiedRandom`` (PF.cpp:473-500, 546-596) — a host loop with two RNG
+defects (N(0,1) stratum jitter, off-by-one index consumption; SURVEY.md
+defects 8 and 13).  TPU-native form: normalised cumulative weights +
+``searchsorted`` against stratified uniforms + a whole-ensemble gather,
+gated by the effective-sample-size test.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from conan_slam_tpu.filters.pf.state import ParticleEnsemble, normalized_weights
+
+
+def effective_count(weights) -> jax.Array:
+    """Neff = 1 / sum(w^2) for normalised weights (reference PF.cpp:550-554)."""
+    return 1.0 / jnp.maximum(jnp.sum(weights * weights), 1e-30)
+
+
+def stratified_indices(key, weights, n: int) -> jax.Array:
+    """Stratified resampling: one uniform draw per stratum ((i + u_i)/N),
+    mapped through the inverse CDF."""
+    u = (jnp.arange(n, dtype=weights.dtype) + jax.random.uniform(key, (n,), dtype=weights.dtype)) / n
+    cum = jnp.cumsum(weights)
+    return jnp.clip(jnp.searchsorted(cum, u), 0, n - 1)
+
+
+def resample(
+    ens: ParticleEnsemble, key, num_effective: float, enabled: bool
+) -> ParticleEnsemble:
+    """Resample when Neff drops below the threshold (reference PF.cpp:489-499).
+
+    The gather touches every per-particle array (pose, covariance, whole
+    maps); with a sharded ensemble this is the one cross-particle collective
+    of the filter.
+    """
+    if not enabled:
+        return ens
+
+    n = ens.num_particles
+    w = normalized_weights(ens)
+    neff = effective_count(w)
+    idx = stratified_indices(key, w, n)
+
+    def do(ens):
+        return ParticleEnsemble(
+            log_w=jnp.full((n,), -jnp.log(float(n)), dtype=ens.log_w.dtype),
+            pose=ens.pose[idx],
+            pose_cov=ens.pose_cov[idx],
+            xf=ens.xf[idx],
+            pf=ens.pf[idx],
+            n_active=ens.n_active,
+            table=ens.table,
+        )
+
+    return jax.lax.cond(neff < num_effective, do, lambda e: e, ens)

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from conan_slam_tpu.config import SlamConfig
 from conan_slam_tpu.filters import ekf as ekf_mod
+from conan_slam_tpu.filters import pf as pf_mod
 from conan_slam_tpu.filters.common import compact
 from conan_slam_tpu.models import motion
 from conan_slam_tpu.sim import sensor_sim
@@ -130,6 +131,76 @@ def ekf_sim_step(carry: EKFSimCarry, _, *, cfg: SlamConfig, world: World, noise:
         x_true=x_true, x_est=state.x[:3], done=st.done, n_active=state.n_active
     )
     return EKFSimCarry(steer=st, x_true=x_true, state=state, step_in_frame=step_in_frame, key=key), out
+
+
+class PFSimCarry(NamedTuple):
+    steer: SteerState
+    x_true: jax.Array
+    ens: pf_mod.ParticleEnsemble
+    step_in_frame: jax.Array
+    key: jax.Array
+
+
+def pf_sim_step(carry: PFSimCarry, _, *, cfg: SlamConfig, world: World, noise: NoiseCovs):
+    key, k_ctrl, k_obs, k_step = jax.random.split(carry.key, 4)
+    was_done = carry.steer.done
+
+    st, x_true, vn, swan = _advance_truth(carry.steer, carry.x_true, world, cfg, k_ctrl)
+
+    # --- per-particle predict + heading observation (main.cpp:279-286) ---
+    ens = pf_mod.predict(carry.ens, vn, swan, noise.qe, cfg.wheel_base, cfg.dt_controls)
+    if cfg.switch_heading_known:
+        ens = pf_mod.observe_heading(ens, x_true[2], cfg.sigma_heading)
+
+    step_in_frame = carry.step_in_frame + 1
+    do_obs = jnp.logical_and(step_in_frame >= cfg.observe_interval, jnp.logical_not(st.done))
+    step_in_frame = jnp.where(do_obs, 0, step_in_frame)
+
+    nz = min(world.num_landmarks, cfg.max_observations())
+
+    def obs_branch(ens):
+        obs_full = sensor_sim.get_observations(x_true, world.landmarks, cfg.max_range)
+        obs_full = sensor_sim.add_observation_noise(
+            k_obs, obs_full, cfg.sigma_r, cfg.sigma_b, cfg.switch_sensor_noise
+        )
+        obs = compact(obs_full, nz)
+        return pf_mod.observation_step(
+            ens,
+            obs,
+            noise.re,
+            k_step,
+            num_effective=cfg.num_effective,
+            sample_proposal_on=cfg.switch_sample_proposal,
+            resample_on=cfg.switch_resample,
+        )
+
+    ens = jax.lax.cond(do_obs, obs_branch, lambda e: e, ens)
+
+    ens = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(was_done, old, new), ens, carry.ens
+    )
+    out = SimOutputs(
+        x_true=x_true,
+        x_est=pf_mod.mean_pose(ens),
+        done=st.done,
+        n_active=ens.n_active,
+    )
+    return PFSimCarry(steer=st, x_true=x_true, ens=ens, step_in_frame=step_in_frame, key=key), out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps"))
+def run_pf_slam(world: World, cfg: SlamConfig, key: jax.Array, n_steps: int = 25_000):
+    """Full FastSLAM 2.0 valet-loop simulation (reference test/main.cpp:204-335)."""
+    noise = make_noise(cfg, "pf")
+    carry = PFSimCarry(
+        steer=init_steer_state(cfg.number_loops),
+        x_true=jnp.zeros((3,), jnp.float32),
+        ens=pf_mod.init_ensemble(cfg.num_particles, cfg.max_landmarks, world.num_landmarks),
+        step_in_frame=jnp.int32(0),
+        key=key,
+    )
+    step = functools.partial(pf_sim_step, cfg=cfg, world=world, noise=noise)
+    return jax.lax.scan(step, carry, None, length=n_steps)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_steps"))
