@@ -34,8 +34,24 @@ def observation_step(
         assoc = associate_known(state, obs)
     else:
         assoc = associate_gated(state, obs, r_cov, gate_reject, gate_augment)
-    state = update(state, obs, assoc.slots, assoc.known_mask, r_cov, batch)
-    state = augment(state, obs, assoc.new_mask, r_cov)
+    # Skip the heavy kernels when a frame has nothing for them (after the map
+    # stabilises, augment runs on almost no frames; lax.cond executes one
+    # branch on TPU, so the skip is real).
+    import jax
+    import jax.numpy as jnp
+
+    state = jax.lax.cond(
+        jnp.any(assoc.known_mask),
+        lambda s: update(s, obs, assoc.slots, assoc.known_mask, r_cov, batch),
+        lambda s: s,
+        state,
+    )
+    state = jax.lax.cond(
+        jnp.any(assoc.new_mask),
+        lambda s: augment(s, obs, assoc.new_mask, r_cov),
+        lambda s: s,
+        state,
+    )
     return state
 
 

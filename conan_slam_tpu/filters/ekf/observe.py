@@ -19,31 +19,33 @@ from conan_slam_tpu.models import sensor
 from conan_slam_tpu.ops.cholesky_update import joseph_update_scalar
 
 
-def build_batch_operator(state: EKFState, obs: CompactObs, slots, mask, r_cov):
+def assemble_operator(pose, features, z, slots, mask, r_cov, d: int):
     """Stacked (masked) innovation, Jacobian and noise for a batch update.
 
     Args:
-      state: EKF state.
-      obs: compact measurement buffer (NZ slots).
+      pose: (3,) vehicle pose to linearise at.
+      features: (K, 2) map slot positions.
+      z: (NZ, 2) measurement buffer.
       slots: (NZ,) int32 map slot index for each measurement.
       mask: (NZ,) bool which measurements participate.
+      d: total (possibly padded) state dimension of the target operator.
     Returns:
       v: (2 NZ,) innovation, zero on masked rows.
-      h: (2 NZ, D) Jacobian, zero on masked rows.
+      h: (2 NZ, d) Jacobian, zero on masked rows.
       rr: (2 NZ, 2 NZ) block-diag noise, identity on masked rows
           (reference assembles the same stack at EKF.cpp:104-121).
     """
-    nz = obs.z.shape[0]
-    d = state.x.shape[0]
-    safe_slots = jnp.clip(slots, 0, state.capacity - 1)
-    xf = state.features[safe_slots]                      # (NZ, 2)
-    zp, hv, hf = sensor.observe(state.pose, xf)          # (NZ,2) (NZ,2,3) (NZ,2,2)
+    nz = z.shape[0]
+    cap = features.shape[0]
+    safe_slots = jnp.clip(slots, 0, cap - 1)
+    xf = features[safe_slots]                            # (NZ, 2)
+    zp, hv, hf = sensor.observe(pose, xf)                # (NZ,2) (NZ,2,3) (NZ,2,2)
 
-    v = obs.z - zp
+    v = z - zp
     v = jnp.stack([v[:, 0], wrap_angle(v[:, 1])], axis=-1)
     v = jnp.where(mask[:, None], v, 0.0).reshape(2 * nz)
 
-    h_rows = jnp.zeros((nz, 2, d), dtype=state.p.dtype)
+    h_rows = jnp.zeros((nz, 2, d), dtype=z.dtype)
     h_rows = h_rows.at[:, :, :3].set(hv)
 
     def place(row, blk, slot):
@@ -52,9 +54,16 @@ def build_batch_operator(state: EKFState, obs: CompactObs, slots, mask, r_cov):
     h_rows = jax.vmap(place)(h_rows, hf, safe_slots)
     h = jnp.where(mask[:, None, None], h_rows, 0.0).reshape(2 * nz, d)
 
-    eye2 = jnp.eye(2, dtype=state.p.dtype)
+    eye2 = jnp.eye(2, dtype=z.dtype)
     r_blocks = jnp.where(mask[:, None, None], r_cov, eye2)   # (NZ, 2, 2)
     return v, h, _block_diag2(r_blocks)
+
+
+def build_batch_operator(state: EKFState, obs: CompactObs, slots, mask, r_cov):
+    """EKFState wrapper over ``assemble_operator``."""
+    return assemble_operator(
+        state.pose, state.features, obs.z, slots, mask, r_cov, state.x.shape[0]
+    )
 
 
 def _block_diag2(blocks):

@@ -1,0 +1,137 @@
+"""Distributed-execution tests on the 8-device virtual CPU mesh.
+
+Oracle: every sharded kernel must agree with its single-device counterpart
+to float32 tolerance (the sharded algebra is a re-bracketing, not an
+approximation).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conan_slam_tpu.core.linalg import sym
+from conan_slam_tpu.filters import pf
+from conan_slam_tpu.ops.cholesky_update import cholesky_update, joseph_update_scalar
+from conan_slam_tpu.parallel import dist_ekf, dist_pf
+from conan_slam_tpu.parallel.mesh import PARTICLE_AXIS, STATE_AXIS, make_mesh
+
+
+def _random_system(rng, d, m):
+    a = rng.normal(size=(d, d)).astype(np.float32) * 0.1
+    p = a @ a.T + np.eye(d, dtype=np.float32)
+    x = rng.normal(size=(d,)).astype(np.float32)
+    h = rng.normal(size=(m, d)).astype(np.float32)
+    r = np.eye(m, dtype=np.float32) * 0.05
+    v = rng.normal(size=(m,)).astype(np.float32)
+    return x, p, v, r, h
+
+
+def test_sharded_cholesky_update_matches_single_device():
+    mesh = make_mesh({STATE_AXIS: 8})
+    rng = np.random.default_rng(0)
+    d, m = 64, 6
+    x, p, v, r, h = _random_system(rng, d, m)
+
+    x1, p1 = cholesky_update(jnp.asarray(x), jnp.asarray(p), jnp.asarray(v),
+                             jnp.asarray(r), jnp.asarray(h))
+    xs, ps = dist_ekf.shard_state(mesh, jnp.asarray(x), jnp.asarray(p))
+    x2, p2 = dist_ekf.sharded_cholesky_update(
+        mesh, xs, ps, jnp.asarray(v), jnp.asarray(r),
+        jnp.zeros((m, 64), jnp.float32).at[:, :d].set(h),
+    )
+    np.testing.assert_allclose(np.asarray(x2)[:d], np.asarray(x1), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(p2)[:d, :d], np.asarray(sym(p1)),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_sharded_predict_and_heading_match_single_device():
+    from conan_slam_tpu.filters import ekf
+
+    mesh = make_mesh({STATE_AXIS: 8})
+    rng = np.random.default_rng(1)
+    cap = 30                      # d = 63 -> padded 64
+    state = ekf.init_state(cap, 40)
+    d = 3 + 2 * cap
+    a = rng.normal(size=(d, d)).astype(np.float32) * 0.1
+    p0 = a @ a.T + np.eye(d, dtype=np.float32) * 0.2
+    x0 = rng.normal(size=(d,)).astype(np.float32)
+    state = state._replace(x=jnp.asarray(x0), p=jnp.asarray(p0),
+                           n_active=jnp.int32(cap))
+
+    q = jnp.asarray(np.diag([0.18, 0.0006]).astype(np.float32))
+    ref = ekf.predict(state, 80.0, 0.05, q, 73.0, 0.01)
+    ref = ekf.observe_heading(ref, 0.3, 0.001)
+
+    xs, ps = dist_ekf.shard_state(mesh, state.x, state.p)
+    xs, ps = dist_ekf.sharded_predict(mesh, xs, ps, 80.0, 0.05, q, 73.0, 0.01)
+    xs, ps = dist_ekf.sharded_observe_heading(mesh, xs, ps, 0.3, 0.001)
+
+    np.testing.assert_allclose(np.asarray(xs)[:d], np.asarray(ref.x), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ps)[:d, :d], np.asarray(ref.p),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_sharded_observation_update_matches_single_device():
+    from conan_slam_tpu.filters import ekf
+    from conan_slam_tpu.filters.common import CompactObs
+
+    mesh = make_mesh({STATE_AXIS: 8})
+    rng = np.random.default_rng(2)
+    cap = 30
+    d = 3 + 2 * cap
+    feats = rng.uniform(-500, 500, size=(cap, 2)).astype(np.float32)
+    state = ekf.init_state(cap, 40)
+    x0 = np.zeros((d,), np.float32)
+    x0[3:] = feats.reshape(-1)
+    a = rng.normal(size=(d, d)).astype(np.float32) * 0.05
+    p0 = a @ a.T + np.eye(d, dtype=np.float32) * 0.1
+    state = state._replace(x=jnp.asarray(x0), p=jnp.asarray(p0),
+                           n_active=jnp.int32(cap))
+
+    from conan_slam_tpu.models import sensor
+    zp, _, _ = sensor.observe(state.pose, jnp.asarray(feats[:4]))
+    z = np.asarray(zp) + rng.normal(size=(4, 2)).astype(np.float32) * [0.3, 0.01]
+    obs = CompactObs(z=jnp.asarray(z), ids=jnp.arange(4, dtype=jnp.int32),
+                     mask=jnp.asarray([True, True, True, False]))
+    slots = jnp.asarray([0, 1, 2, 0], jnp.int32)
+    mask = jnp.asarray([True, True, True, False])
+    r = jnp.asarray(np.diag([0.08, 0.0024]).astype(np.float32))
+
+    ref = ekf.batch_update(state, obs, slots, mask, r)
+
+    xs, ps = dist_ekf.shard_state(mesh, state.x, state.p)
+    xs, ps = dist_ekf.sharded_observation_update(
+        mesh, xs, ps, obs.z, slots, mask, r, capacity=cap
+    )
+    np.testing.assert_allclose(np.asarray(xs)[:d], np.asarray(ref.x), rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(ps)[:d, :d], np.asarray(ref.p),
+                               rtol=1e-3, atol=2e-3)
+
+
+def test_sharded_pf_pipeline_matches_single_device():
+    mesh = make_mesh({PARTICLE_AXIS: 8})
+    n, k = 64, 4
+    ens = pf.init_ensemble(n, k, 8)
+    rng = np.random.default_rng(3)
+    ens = ens._replace(
+        pose=jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32)),
+        log_w=jnp.asarray(rng.normal(size=(n,)).astype(np.float32)),
+    )
+    q = jnp.asarray(np.diag([0.18, 0.0006]).astype(np.float32))
+
+    @jax.jit
+    def step(e, key):
+        e = pf.predict(e, 80.0, 0.05, q, 73.0, 0.01)
+        e = pf.observe_heading(e, 0.1, 0.001)
+        return pf.resample(e, key, num_effective=float(n), enabled=True)
+
+    key = jax.random.PRNGKey(0)
+    ref = step(ens, key)
+    ens_sh = dist_pf.shard_ensemble(mesh, ens)
+    out = step(ens_sh, key)
+    for name in ("pose", "pose_cov", "log_w"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, name)), np.asarray(getattr(ref, name)),
+            rtol=1e-4, atol=1e-5,
+        )
