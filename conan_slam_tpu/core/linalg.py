@@ -91,6 +91,21 @@ def solve_psd(s, b, jitter: float = 0.0):
     return jax.scipy.linalg.cho_solve((chol, True), b)
 
 
+def sample_mvn(key, mean, cov, num_samples: int | None = None, jitter: float = 0.0):
+    """Draw sample(s) from N(mean, cov) via the Cholesky factor.
+
+    Replaces the reference's ``multivariateNormalGaussianDistribution``
+    (slam.h:753-764), which reseeds its RNG with the constant 1 on every call
+    (SURVEY.md defect 2) — here the stream is an explicit jax.random key.
+    Returns (d,) when ``num_samples`` is None, else (num_samples, d).
+    """
+    d = mean.shape[-1]
+    chol = safe_cholesky(cov, jitter)
+    shape = (d,) if num_samples is None else (num_samples, d)
+    eps = jax.random.normal(key, shape, dtype=mean.dtype)
+    return mean + eps @ chol.T
+
+
 def mvn_logpdf(v, s, jitter: float = 0.0):
     """Log-density of N(0, S) at innovation(s) ``v`` (..., d).
 

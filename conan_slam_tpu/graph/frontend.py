@@ -1,0 +1,123 @@
+"""Loop-closure front end: keyframes, closure constraints, graph assembly.
+
+Ties the filter trajectory to the pose-graph backend (BASELINE.json config 4).
+No reference analogue — the reference never corrects past poses.
+
+Pipeline (all static-shape, jittable):
+  1. keyframes: stride-subsample the estimated trajectory;
+  2. odometry edges: relative pose between consecutive keyframe estimates
+     (what the filter believed it travelled);
+  3. closure edges: revisit candidates from ``detect_loop_closures`` with a
+     simulated scan-match measurement (true relative pose + matcher noise —
+     the sim stands in for a real place-recognition/registration stack);
+  4. relax with ``optimize``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from conan_slam_tpu.graph.pose_graph import (
+    PoseGraph,
+    detect_loop_closures,
+    optimize,
+    relative_pose,
+)
+
+
+class ClosureConfig(NamedTuple):
+    keyframe_stride: int = 50        # control steps between keyframes
+    max_closures: int = 64
+    radius: float = 100.0            # revisit radius [m]
+    min_index_gap: int = 40          # keyframes apart to count as revisit
+    # Edge information: odometry-edge uncertainty must reflect the filter's
+    # actual drift growth per keyframe interval (over-weighting odometry makes
+    # the chain too stiff for closures to correct).
+    odo_sigma_xy: float = 1.0        # odometry edge noise [m]
+    odo_sigma_th: float = 0.02      # [rad]
+    closure_sigma_xy: float = 0.5    # simulated scan-match noise [m]
+    closure_sigma_th: float = 0.01  # [rad]
+
+
+def build_graph(
+    est_traj,
+    true_traj,
+    valid,
+    cfg: ClosureConfig,
+    key,
+) -> PoseGraph:
+    """Assemble a pose graph from a (T, 3) trajectory.
+
+    ``est_traj`` provides node initial values and odometry edges;
+    ``true_traj`` + noise provides closure measurements (simulated matcher).
+    ``valid`` masks post-termination steps.
+    """
+    stride = cfg.keyframe_stride
+    kf_est = est_traj[::stride]
+    kf_true = true_traj[::stride]
+    kf_valid = valid[::stride]
+    t = kf_est.shape[0]
+
+    # Odometry edges between consecutive keyframes.
+    e_odo = jnp.stack(
+        [jnp.arange(t - 1, dtype=jnp.int32), jnp.arange(1, t, dtype=jnp.int32)],
+        axis=1,
+    )
+    odo_meas = relative_pose(kf_est[:-1], kf_est[1:])
+    odo_mask = jnp.logical_and(kf_valid[:-1], kf_valid[1:])
+    w_odo = jnp.asarray(
+        [1.0 / cfg.odo_sigma_xy**2, 1.0 / cfg.odo_sigma_xy**2, 1.0 / cfg.odo_sigma_th**2],
+        jnp.float32,
+    )
+    odo_info = jnp.tile(jnp.diag(w_odo)[None], (t - 1, 1, 1))
+
+    # Closure edges from revisit detection on the *estimated* keyframes.
+    pairs, pair_mask = detect_loop_closures(
+        kf_est,
+        kf_valid,
+        max_candidates=cfg.max_closures,
+        radius=cfg.radius,
+        min_index_gap=cfg.min_index_gap,
+    )
+    safe_pairs = jnp.clip(pairs, 0, t - 1)
+    cl_true = relative_pose(kf_true[safe_pairs[:, 0]], kf_true[safe_pairs[:, 1]])
+    noise = jax.random.normal(key, cl_true.shape, dtype=cl_true.dtype) * jnp.asarray(
+        [cfg.closure_sigma_xy, cfg.closure_sigma_xy, cfg.closure_sigma_th]
+    )
+    cl_meas = cl_true + noise
+    w_cl = jnp.asarray(
+        [
+            1.0 / cfg.closure_sigma_xy**2,
+            1.0 / cfg.closure_sigma_xy**2,
+            1.0 / cfg.closure_sigma_th**2,
+        ],
+        jnp.float32,
+    )
+    cl_info = jnp.tile(jnp.diag(w_cl)[None], (pairs.shape[0], 1, 1))
+
+    return PoseGraph(
+        nodes=kf_est,
+        node_mask=kf_valid,
+        edges=jnp.concatenate([e_odo, safe_pairs]),
+        meas=jnp.concatenate([odo_meas, cl_meas]),
+        info=jnp.concatenate([odo_info, cl_info]),
+        edge_mask=jnp.concatenate([odo_mask, pair_mask]),
+    )
+
+
+def relax_trajectory(
+    est_traj,
+    true_traj,
+    valid,
+    cfg: ClosureConfig,
+    key,
+    *,
+    iterations: int = 10,
+    cg_iterations: int = 50,
+):
+    """Build + optimise the pose graph; returns (graph, optimised graph)."""
+    g = build_graph(est_traj, true_traj, valid, cfg, key)
+    return g, optimize(g, iterations=iterations, cg_iterations=cg_iterations)

@@ -203,11 +203,74 @@ def run_pf_slam(world: World, cfg: SlamConfig, key: jax.Array, n_steps: int = 25
     return jax.lax.scan(step, carry, None, length=n_steps)
 
 
+def ekf_frame_step(carry: EKFSimCarry, _, *, cfg: SlamConfig, world: World, noise: NoiseCovs):
+    """One observation frame: ``observe_interval`` control sub-steps unrolled
+    (traced inline, fused by XLA across sub-steps) followed by one observation
+    update.  Scanning over frames instead of control steps cuts per-iteration
+    launch overhead ~interval-fold on TPU while computing the identical
+    sequence (the reference fires the observation every 6th control step,
+    test/main.cpp:171-174)."""
+    interval = cfg.observe_interval
+    key, k_obs = jax.random.split(carry.key)
+    sub_outs = []
+    steer_state, x_true, state = carry.steer, carry.x_true, carry.state
+
+    for k in range(interval):
+        was_done = steer_state.done
+        k_ctrl = jax.random.fold_in(key, k)
+        steer_state, x_true, vn, swan = _advance_truth(
+            steer_state, x_true, world, cfg, k_ctrl
+        )
+        new_state = ekf_mod.predict(state, vn, swan, noise.qe, cfg.wheel_base, cfg.dt_controls)
+        if cfg.switch_heading_known:
+            new_state = ekf_mod.observe_heading(new_state, x_true[2], cfg.sigma_heading)
+        state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(was_done, old, new), new_state, state
+        )
+        sub_outs.append(
+            SimOutputs(
+                x_true=x_true, x_est=state.x[:3], done=steer_state.done,
+                n_active=state.n_active,
+            )
+        )
+
+    nz = min(world.num_landmarks, cfg.max_observations())
+
+    def obs_branch(state):
+        obs_full = sensor_sim.get_observations(x_true, world.landmarks, cfg.max_range)
+        obs_full = sensor_sim.add_observation_noise(
+            k_obs, obs_full, cfg.sigma_r, cfg.sigma_b, cfg.switch_sensor_noise
+        )
+        obs = compact(obs_full, nz)
+        return ekf_mod.observation_step(
+            state,
+            obs,
+            noise.re,
+            association_known=cfg.switch_association_known,
+            batch=cfg.switch_batch_update,
+            gate_reject=cfg.gate_reject,
+            gate_augment=cfg.gate_augment,
+        )
+
+    state = jax.lax.cond(jnp.logical_not(steer_state.done), obs_branch, lambda s: s, state)
+    # The frame's last sub-step output reflects the post-update estimate.
+    sub_outs[-1] = sub_outs[-1]._replace(x_est=state.x[:3], n_active=state.n_active)
+
+    outs = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *sub_outs)
+    new_carry = EKFSimCarry(
+        steer=steer_state, x_true=x_true, state=state,
+        step_in_frame=jnp.int32(0), key=key,
+    )
+    return new_carry, outs
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "n_steps"))
 def run_ekf_slam(world: World, cfg: SlamConfig, key: jax.Array, n_steps: int = 25_000):
     """Full EKF-SLAM valet-loop simulation (reference test/main.cpp:89-201).
 
-    Returns (final_carry, SimOutputs) with per-step trajectories.
+    Scans over observation frames (``observe_interval`` control steps each);
+    ``n_steps`` is rounded up to a whole number of frames.  Returns
+    (final_carry, SimOutputs) with per-control-step trajectories.
     """
     noise = make_noise(cfg, "ekf")
     carry = EKFSimCarry(
@@ -217,5 +280,12 @@ def run_ekf_slam(world: World, cfg: SlamConfig, key: jax.Array, n_steps: int = 2
         step_in_frame=jnp.int32(0),
         key=key,
     )
-    step = functools.partial(ekf_sim_step, cfg=cfg, world=world, noise=noise)
-    return jax.lax.scan(step, carry, None, length=n_steps)
+    interval = cfg.observe_interval
+    n_frames = (n_steps + interval - 1) // interval
+    step = functools.partial(ekf_frame_step, cfg=cfg, world=world, noise=noise)
+    carry, outs = jax.lax.scan(step, carry, None, length=n_frames)
+    # (n_frames, interval, ...) -> (n_frames * interval, ...).
+    outs = jax.tree_util.tree_map(
+        lambda x: x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:]), outs
+    )
+    return carry, outs

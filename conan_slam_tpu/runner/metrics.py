@@ -27,6 +27,36 @@ def ate_rmse(x_true, x_est, valid=None):
     return jnp.sqrt(jnp.sum(err2 * w) / jnp.maximum(jnp.sum(w), 1.0))
 
 
+def aligned_ate_rmse(x_true, x_est, valid=None):
+    """ATE after optimal SE(2) alignment of the estimate to the truth.
+
+    The standard ATE protocol (Horn/Umeyama closed form, rotation+translation,
+    no scale): relative-only estimators (pose graphs without absolute
+    anchoring) are evaluated up to a global rigid transform.
+    """
+    w = (valid if valid is not None else jnp.ones(x_true.shape[0], bool)).astype(
+        x_true.dtype
+    )
+    wsum = jnp.maximum(jnp.sum(w), 1.0)
+    pt = x_true[:, :2]
+    pe = x_est[:, :2]
+    mu_t = jnp.sum(pt * w[:, None], axis=0) / wsum
+    mu_e = jnp.sum(pe * w[:, None], axis=0) / wsum
+    ct = pt - mu_t
+    ce = pe - mu_e
+    # Cross-covariance; optimal rotation from its polar angle.
+    sxx = jnp.sum(w * ce[:, 0] * ct[:, 0])
+    syy = jnp.sum(w * ce[:, 1] * ct[:, 1])
+    sxy = jnp.sum(w * ce[:, 0] * ct[:, 1])
+    syx = jnp.sum(w * ce[:, 1] * ct[:, 0])
+    theta = jnp.arctan2(sxy - syx, sxx + syy)
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    rot = jnp.asarray([[c, -s], [s, c]])
+    aligned = ce @ rot.T + mu_t
+    err2 = jnp.sum((aligned - pt) ** 2, axis=-1)
+    return jnp.sqrt(jnp.sum(err2 * w) / wsum)
+
+
 def heading_rmse(x_true, x_est, valid=None):
     err2 = wrap_angle(x_true[:, 2] - x_est[:, 2]) ** 2
     if valid is None:

@@ -114,3 +114,12 @@ def test_mvn_logpdf_matches_scipy_formula():
     )
     got = mvn_logpdf(jnp.asarray(v), jnp.asarray(s))
     np.testing.assert_allclose(got, expected, rtol=1e-4)
+
+
+def test_sample_mvn_statistics():
+    from conan_slam_tpu.core.linalg import sample_mvn
+    mean = jnp.asarray([1.0, -2.0])
+    cov = jnp.asarray([[2.0, 0.6], [0.6, 0.5]])
+    xs = sample_mvn(jax.random.PRNGKey(0), mean, cov, num_samples=20000)
+    np.testing.assert_allclose(xs.mean(axis=0), mean, atol=0.05)
+    np.testing.assert_allclose(np.cov(np.asarray(xs).T), cov, atol=0.08)

@@ -1,0 +1,138 @@
+"""Pose-graph optimisation tests: residual correctness, convergence on a
+noisy loop, closure detection."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conan_slam_tpu.core.geometry import wrap_angle
+from conan_slam_tpu.graph import pose_graph as pg
+
+
+def _simulate_loop(n=40, drift=0.02, seed=0):
+    """Square-ish loop: ground truth + odometry with heading drift."""
+    rng = np.random.default_rng(seed)
+    truth = np.zeros((n, 3), np.float32)
+    step_len = 10.0
+    for i in range(1, n):
+        turn = (np.pi / 2) if i % (n // 4) == 0 else 0.0
+        th = truth[i - 1, 2] + turn
+        truth[i] = [
+            truth[i - 1, 0] + step_len * np.cos(th),
+            truth[i - 1, 1] + step_len * np.sin(th),
+            th,
+        ]
+    truth[:, 2] = np.asarray(wrap_angle(jnp.asarray(truth[:, 2])))
+
+    # Odometry measurements: true relative pose + noise.
+    meas = []
+    for i in range(n - 1):
+        rel = pg.relative_pose(jnp.asarray(truth[i]), jnp.asarray(truth[i + 1]))
+        noise = rng.normal(size=3).astype(np.float32) * [0.05, 0.05, drift]
+        meas.append(np.asarray(rel) + noise)
+    # Integrate noisy odometry for the initial guess.
+    guess = np.zeros_like(truth)
+    for i in range(n - 1):
+        c, s = np.cos(guess[i, 2]), np.sin(guess[i, 2])
+        guess[i + 1, 0] = guess[i, 0] + c * meas[i][0] - s * meas[i][1]
+        guess[i + 1, 1] = guess[i, 1] + s * meas[i][0] + c * meas[i][1]
+        guess[i + 1, 2] = guess[i, 2] + meas[i][2]
+    return truth, np.asarray(meas, np.float32), guess
+
+
+def _build_graph(truth, odo_meas, guess, closures):
+    n = truth.shape[0]
+    e_odo = np.stack([np.arange(n - 1), np.arange(1, n)], axis=1)
+    edges = [e_odo]
+    meas = [odo_meas]
+    infos = [np.tile(np.diag([100.0, 100.0, 400.0]).astype(np.float32), (n - 1, 1, 1))]
+    if closures:
+        pairs = np.asarray(closures, np.int64)
+        rel = np.stack(
+            [
+                np.asarray(pg.relative_pose(jnp.asarray(truth[i]), jnp.asarray(truth[j])))
+                for i, j in pairs
+            ]
+        ).astype(np.float32)
+        edges.append(pairs)
+        meas.append(rel)
+        infos.append(np.tile(np.diag([400.0, 400.0, 1600.0]).astype(np.float32),
+                             (len(pairs), 1, 1)))
+    edges = np.concatenate(edges)
+    return pg.PoseGraph(
+        nodes=jnp.asarray(guess),
+        node_mask=jnp.ones((n,), bool),
+        edges=jnp.asarray(edges, jnp.int32),
+        meas=jnp.asarray(np.concatenate(meas)),
+        info=jnp.asarray(np.concatenate(infos)),
+        edge_mask=jnp.ones((edges.shape[0],), bool),
+    )
+
+
+def test_relative_pose_roundtrip():
+    a = jnp.asarray([1.0, 2.0, 0.7])
+    b = jnp.asarray([4.0, -1.0, -0.9])
+    rel = pg.relative_pose(a, b)
+    # Compose a with rel -> b.
+    c, s = jnp.cos(a[2]), jnp.sin(a[2])
+    x = a[0] + c * rel[0] - s * rel[1]
+    y = a[1] + s * rel[0] + c * rel[1]
+    th = wrap_angle(a[2] + rel[2])
+    np.testing.assert_allclose([x, y, th], np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+def test_optimize_reduces_error_and_recovers_loop():
+    truth, odo, guess = _simulate_loop()
+    closures = [(0, 39), (1, 38)]
+    g = _build_graph(truth, odo, guess, closures)
+    err0 = float(pg.graph_error(g))
+    g_opt = pg.optimize(g, iterations=15, cg_iterations=60)
+    err1 = float(pg.graph_error(g_opt))
+    assert err1 < 0.1 * err0, (err0, err1)
+
+    # End-point drift: before optimisation the integrated odometry drifts;
+    # after, the loop ties the end back near truth.
+    drift_before = np.linalg.norm(guess[-1, :2] - truth[-1, :2])
+    drift_after = np.linalg.norm(np.asarray(g_opt.nodes)[-1, :2] - truth[-1, :2])
+    assert drift_after < 0.5 * drift_before, (drift_before, drift_after)
+
+
+def test_optimize_respects_masks():
+    truth, odo, guess = _simulate_loop(n=20)
+    g = _build_graph(truth, odo, guess, [])
+    # Pad with garbage masked nodes/edges; results must be unaffected.
+    pad_nodes = jnp.concatenate([g.nodes, jnp.full((5, 3), 1e6, jnp.float32)])
+    pad_mask = jnp.concatenate([g.node_mask, jnp.zeros((5,), bool)])
+    pad_edges = jnp.concatenate(
+        [g.edges, jnp.asarray([[21, 23]] * 4, jnp.int32)]
+    )
+    pad_meas = jnp.concatenate([g.meas, jnp.ones((4, 3), jnp.float32)])
+    pad_info = jnp.concatenate(
+        [g.info, jnp.tile(jnp.eye(3)[None], (4, 1, 1)).astype(jnp.float32)]
+    )
+    pad_emask = jnp.concatenate([g.edge_mask, jnp.zeros((4,), bool)])
+    g_pad = pg.PoseGraph(pad_nodes, pad_mask, pad_edges, pad_meas, pad_info, pad_emask)
+
+    out_ref = pg.optimize(g, iterations=5, cg_iterations=30)
+    out_pad = pg.optimize(g_pad, iterations=5, cg_iterations=30)
+    np.testing.assert_allclose(
+        np.asarray(out_pad.nodes)[:20], np.asarray(out_ref.nodes), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_detect_loop_closures_finds_revisit():
+    # Trajectory that returns to the start.
+    n = 30
+    t = np.linspace(0, 2 * np.pi, n).astype(np.float32)
+    nodes = np.stack([100 * np.sin(t), 100 * (1 - np.cos(t)), t], axis=1)
+    pairs, mask = pg.detect_loop_closures(
+        jnp.asarray(nodes), jnp.ones((n,), bool),
+        max_candidates=8, radius=30.0, min_index_gap=15,
+    )
+    found = {tuple(p) for p, m in zip(np.asarray(pairs), np.asarray(mask)) if m}
+    assert found, "no closures found"
+    # All found pairs must straddle the revisit (start vs end of the circle).
+    for i, j in found:
+        assert j - i >= 15
+        d = np.linalg.norm(nodes[i, :2] - nodes[j, :2])
+        assert d < 30.0
