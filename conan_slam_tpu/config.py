@@ -85,6 +85,10 @@ class SlamConfig:
     # buffer to the world's landmark count; large worlds should bound it
     # (the sensor's finite range bounds true simultaneous visibility).
     max_obs: int = 0
+    # Rank-compounded frame updates (filters.ekf.fastframe): apply a whole
+    # observation frame's predict+heading covariance work as one symmetric
+    # rank update of P.  Sequentially equivalent; large HBM-traffic win.
+    fast_frame: bool = True
 
     @property
     def num_effective(self) -> float:

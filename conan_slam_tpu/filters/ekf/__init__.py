@@ -4,7 +4,7 @@ TPU-native equivalent of the reference ``EKF`` engine
 (EKF.h:5-340, EKF.cpp:1-496); see the submodules for per-kernel mapping.
 """
 
-from conan_slam_tpu.filters.ekf.state import EKFState, init_state
+from conan_slam_tpu.filters.ekf.state import EKFState, init_state, init_state_with_map
 from conan_slam_tpu.filters.ekf.predict import predict
 from conan_slam_tpu.filters.ekf.observe import observe_heading
 from conan_slam_tpu.filters.ekf.associate import (
@@ -14,6 +14,7 @@ from conan_slam_tpu.filters.ekf.associate import (
 )
 from conan_slam_tpu.filters.ekf.update import batch_update, sequential_update, update
 from conan_slam_tpu.filters.ekf.augment import augment
+from conan_slam_tpu.filters.ekf.fastframe import frame_predict_heading
 
 from conan_slam_tpu.filters.common import CompactObs
 
@@ -58,6 +59,7 @@ def observation_step(
 __all__ = [
     "EKFState",
     "init_state",
+    "init_state_with_map",
     "predict",
     "observe_heading",
     "AssociationResult",

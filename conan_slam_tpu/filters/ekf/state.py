@@ -50,3 +50,29 @@ def init_state(capacity: int, num_landmark_ids: int, dtype=jnp.float32) -> EKFSt
         n_active=jnp.int32(0),
         table=jnp.full((num_landmark_ids,), -1, dtype=jnp.int32),
     )
+
+
+def init_state_with_map(
+    landmarks, capacity: int | None = None, sigma0: float = 1.0, dtype=jnp.float32
+) -> EKFState:
+    """Steady-state start: the first ``capacity`` landmarks pre-registered.
+
+    Models a mapped facility (the valet/parking use case after a mapping run):
+    feature means at the given positions with independent ``sigma0^2 I`` blocks.
+    No reference analogue (the reference always starts empty); used by the
+    full-map tracking benchmarks (BASELINE.json configs 2/5).
+    """
+    landmarks = jnp.asarray(landmarks, dtype)
+    n_ids = landmarks.shape[0]
+    k = capacity if capacity is not None else n_ids
+    n_map = min(n_ids, k)
+    state = init_state(k, n_ids, dtype)
+    x = state.x.at[3 : 3 + 2 * n_map].set(landmarks[:n_map].reshape(-1))
+    diag = (
+        jnp.zeros((3 + 2 * k,), dtype)
+        .at[3 : 3 + 2 * n_map]
+        .set(sigma0**2)
+    )
+    p = state.p + jnp.diag(diag)
+    table = state.table.at[:n_map].set(jnp.arange(n_map, dtype=jnp.int32))
+    return EKFState(x=x, p=p, n_active=jnp.int32(n_map), table=table)

@@ -215,24 +215,63 @@ def ekf_frame_step(carry: EKFSimCarry, _, *, cfg: SlamConfig, world: World, nois
     sub_outs = []
     steer_state, x_true, state = carry.steer, carry.x_true, carry.state
 
-    for k in range(interval):
-        was_done = steer_state.done
-        k_ctrl = jax.random.fold_in(key, k)
-        steer_state, x_true, vn, swan = _advance_truth(
-            steer_state, x_true, world, cfg, k_ctrl
-        )
-        new_state = ekf_mod.predict(state, vn, swan, noise.qe, cfg.wheel_base, cfg.dt_controls)
-        if cfg.switch_heading_known:
-            new_state = ekf_mod.observe_heading(new_state, x_true[2], cfg.sigma_heading)
-        state = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(was_done, old, new), new_state, state
-        )
-        sub_outs.append(
-            SimOutputs(
-                x_true=x_true, x_est=state.x[:3], done=steer_state.done,
-                n_active=state.n_active,
+    if cfg.fast_frame:
+        # Rank-compounded frame update (filters.ekf.fastframe): advance the
+        # cheap O(1) truth/steering chain per sub-step, then apply all
+        # predict+heading covariance work as one symmetric rank update.
+        vns, swans, phis, actives = [], [], [], []
+        for k in range(interval):
+            was_done = steer_state.done
+            k_ctrl = jax.random.fold_in(key, k)
+            steer_state, x_true, vn, swan = _advance_truth(
+                steer_state, x_true, world, cfg, k_ctrl
             )
+            vns.append(vn)
+            swans.append(swan)
+            phis.append(x_true[2])
+            actives.append(jnp.logical_not(was_done))
+            sub_outs.append(
+                SimOutputs(
+                    x_true=x_true, x_est=state.x[:3], done=steer_state.done,
+                    n_active=state.n_active,
+                )
+            )
+        state, pose_trace = ekf_mod.frame_predict_heading(
+            state,
+            jnp.stack(vns),
+            jnp.stack(swans),
+            jnp.stack(phis),
+            jnp.stack(actives),
+            noise.qe,
+            cfg.wheel_base,
+            cfg.dt_controls,
+            cfg.sigma_heading,
+            cfg.switch_heading_known,
+            return_pose_trace=True,
         )
+        # Per-sub-step pose estimates come from the exact pose tracking
+        # inside the compounding (mean of the filter at each sub-step).
+        for k in range(interval):
+            sub_outs[k] = sub_outs[k]._replace(x_est=pose_trace[k])
+    else:
+        for k in range(interval):
+            was_done = steer_state.done
+            k_ctrl = jax.random.fold_in(key, k)
+            steer_state, x_true, vn, swan = _advance_truth(
+                steer_state, x_true, world, cfg, k_ctrl
+            )
+            new_state = ekf_mod.predict(state, vn, swan, noise.qe, cfg.wheel_base, cfg.dt_controls)
+            if cfg.switch_heading_known:
+                new_state = ekf_mod.observe_heading(new_state, x_true[2], cfg.sigma_heading)
+            state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(was_done, old, new), new_state, state
+            )
+            sub_outs.append(
+                SimOutputs(
+                    x_true=x_true, x_est=state.x[:3], done=steer_state.done,
+                    n_active=state.n_active,
+                )
+            )
 
     nz = min(world.num_landmarks, cfg.max_observations())
 
@@ -265,18 +304,30 @@ def ekf_frame_step(carry: EKFSimCarry, _, *, cfg: SlamConfig, world: World, nois
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_steps"))
-def run_ekf_slam(world: World, cfg: SlamConfig, key: jax.Array, n_steps: int = 25_000):
+def run_ekf_slam(
+    world: World,
+    cfg: SlamConfig,
+    key: jax.Array,
+    n_steps: int = 25_000,
+    init_state: ekf_mod.EKFState | None = None,
+):
     """Full EKF-SLAM valet-loop simulation (reference test/main.cpp:89-201).
 
     Scans over observation frames (``observe_interval`` control steps each);
     ``n_steps`` is rounded up to a whole number of frames.  Returns
     (final_carry, SimOutputs) with per-control-step trajectories.
+    ``init_state`` overrides the empty-map start (e.g. a pre-built map from
+    ``ekf.init_state_with_map`` or a restored checkpoint).
     """
     noise = make_noise(cfg, "ekf")
     carry = EKFSimCarry(
         steer=init_steer_state(cfg.number_loops),
         x_true=jnp.zeros((3,), jnp.float32),
-        state=ekf_mod.init_state(cfg.max_landmarks, world.num_landmarks),
+        state=(
+            init_state
+            if init_state is not None
+            else ekf_mod.init_state(cfg.max_landmarks, world.num_landmarks)
+        ),
         step_in_frame=jnp.int32(0),
         key=key,
     )

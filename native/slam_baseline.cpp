@@ -238,10 +238,11 @@ extern "C" {
 
 // Runs the full valet-loop EKF-SLAM workload.  Returns the number of control
 // steps executed; writes wall seconds (filter only) and position ATE RMSE.
-int64_t run_ekf_baseline(const float* lm_xy, int num_lm, const float* wp_xy,
-                         int num_wp, int max_steps, uint64_t seed,
-                         int with_noise, double* out_seconds, float* out_ate,
-                         float* out_traj /* may be null, 3*max_steps */) {
+int64_t run_ekf_baseline_ex(const float* lm_xy, int num_lm, const float* wp_xy,
+                            int num_wp, int max_steps, uint64_t seed,
+                            int with_noise, int prebuild_map, float sigma0,
+                            double* out_seconds, float* out_ate,
+                            float* out_traj /* may be null, 3*max_steps */) {
   // Reference parameter set (SURVEY.md section 2.4).
   const float velocity = 83.33f, max_swa = kPi / 4.0f,
               rate_swa = 70.0f * kPi / 180.0f, wheel_base = 73.0f, dt = 0.01f;
@@ -258,6 +259,20 @@ int64_t run_ekf_baseline(const float* lm_xy, int num_lm, const float* wp_xy,
   std::normal_distribution<float> gauss(0.0f, 1.0f);
 
   EkfSlam ekf(num_lm);
+  if (prebuild_map) {
+    // Steady-state start: every landmark pre-registered with sigma0^2 I
+    // feature covariance (the full-map tracking benchmark configuration).
+    ekf.nf = num_lm;
+    const int d = 3 + 2 * num_lm;
+    ekf.x.assign(d, 0.0f);
+    for (int i = 0; i < num_lm; ++i) {
+      ekf.x[3 + 2 * i] = lm_xy[2 * i];
+      ekf.x[3 + 2 * i + 1] = lm_xy[2 * i + 1];
+      ekf.table[i] = i;
+    }
+    ekf.p = Mat(d, d);
+    for (int i = 3; i < d; ++i) ekf.p.at(i, i) = sigma0 * sigma0;
+  }
   float xt[3] = {0, 0, 0};
   float swa = 0.0f;
   int iwp = 0;
@@ -331,6 +346,15 @@ int64_t run_ekf_baseline(const float* lm_xy, int num_lm, const float* wp_xy,
   *out_seconds = std::chrono::duration<double>(t1 - t0).count();
   *out_ate = steps ? static_cast<float>(std::sqrt(err2_sum / steps)) : 0.0f;
   return steps;
+}
+
+int64_t run_ekf_baseline(const float* lm_xy, int num_lm, const float* wp_xy,
+                         int num_wp, int max_steps, uint64_t seed,
+                         int with_noise, double* out_seconds, float* out_ate,
+                         float* out_traj) {
+  return run_ekf_baseline_ex(lm_xy, num_lm, wp_xy, num_wp, max_steps, seed,
+                             with_noise, /*prebuild_map=*/0, /*sigma0=*/1.0f,
+                             out_seconds, out_ate, out_traj);
 }
 
 }  // extern "C"
