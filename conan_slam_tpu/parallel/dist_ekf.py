@@ -141,6 +141,85 @@ def sharded_observation_update(
     return x_new, p_new
 
 
+def sharded_augment(
+    mesh, x, p, z, ids, new_mask, r_cov, n_active, table, axis: str = STATE_AXIS
+):
+    """Masked new-feature founding on the sharded state.
+
+    Mirrors filters.ekf.augment (reference EKF.cpp:9-91).  Communication:
+    one (3, Dp) pose-row-strip broadcast (psum from shard 0); every scatter
+    is local, with out-of-range local indices dropped — each shard writes
+    only the strip rows it owns, and all shards write the columns.
+
+    Returns (x, p, n_active, table).
+    """
+    dp = x.shape[0]
+    n = mesh.shape[axis]
+    chunk = dp // n
+    nz = z.shape[0]
+    num_ids = table.shape[0]
+
+    # Slot assignment (replicated bookkeeping, identical on all shards).
+    rank = jnp.cumsum(new_mask.astype(jnp.int32)) - 1
+    slots = n_active + rank
+    cap = (dp - 3) // 2
+    ok = jnp.logical_and(new_mask, slots < cap)
+    row0 = jnp.where(ok, 3 + 2 * slots, dp)           # dp => dropped
+    rows2 = jnp.stack([row0, row0 + 1], axis=1).reshape(-1)  # (2 NZ,)
+
+    def kernel(x_l, p_l):
+        i = jax.lax.axis_index(axis)
+        pose = _pose_from_shards(x_l, axis)
+        from conan_slam_tpu.models import sensor
+
+        xf, gv, gz = sensor.init_feature(pose, z)     # (NZ,2) (NZ,2,3) (NZ,2,2)
+
+        # Pose-row strip of P, broadcast from its owner (shard 0).
+        strip = jax.lax.psum(
+            jnp.where(i == 0, p_l[:3, :], 0.0), axis
+        )                                              # (3, dp) full width
+        new_rows = jnp.einsum("nab,bd->nad", gv, strip, precision=PRECISION)
+        new_rows = jnp.where(ok[:, None, None], new_rows, 0.0).reshape(2 * nz, dp)
+
+        pvv = strip[:, :3]
+        cross = jnp.einsum("iab,bc,jdc->iajd", gv, pvv, gv, precision=PRECISION)
+        diag_extra = jnp.einsum("iab,bc,idc->iad", gz, r_cov, gz, precision=PRECISION)
+        idx = jnp.arange(nz)
+        cross = cross.at[idx, :, idx, :].add(diag_extra).reshape(2 * nz, 2 * nz)
+
+        # Local row indices: rows this shard owns, others dropped.
+        local_rows = jnp.where(
+            (rows2 >= i * chunk) & (rows2 < (i + 1) * chunk),
+            rows2 - i * chunk,
+            chunk,
+        )
+        # Rows (strip part): new feature rows across all columns.
+        p_l = p_l.at[local_rows, :].set(new_rows, mode="drop")
+        # Columns on every shard.
+        p_l = p_l.at[:, rows2].set(
+            jax.lax.dynamic_slice_in_dim(new_rows.T, i * chunk, chunk, axis=0),
+            mode="drop",
+        )
+        # New-new cross blocks overwrite the intersections (row-owner shards).
+        p_l = p_l.at[local_rows[:, None], rows2[None, :]].set(cross, mode="drop")
+
+        # Mean scatter (owner shards).
+        x_l = x_l.at[local_rows].set(
+            jnp.where(ok[:, None], xf, 0.0).reshape(-1), mode="drop"
+        )
+        return x_l, p_l
+
+    x_new, p_new = shard_map(
+        kernel, mesh=mesh, in_specs=(P(axis), P(axis, None)), out_specs=(P(axis), P(axis, None))
+    )(x, p)
+
+    n_new = jnp.sum(ok.astype(jnp.int32))
+    table_new = table.at[jnp.where(ok, ids, num_ids)].set(
+        slots.astype(jnp.int32), mode="drop"
+    )
+    return x_new, p_new, n_active + n_new, table_new
+
+
 def sharded_observe_heading(mesh, x, p, phi_meas, sigma_heading, axis: str = STATE_AXIS):
     """Rank-1 Joseph heading update on the sharded covariance
     (mirrors ops.joseph_update_scalar; reference EKF.cpp:328-352).

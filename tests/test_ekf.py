@@ -254,3 +254,18 @@ def test_e2e_noise_free_tracks_truth():
     assert float(ate) < 0.1, f"noise-free ATE too high: {float(ate)}"
     # Landmarks seen so far should be mapped.
     assert int(carry.state.n_active) > 0
+
+
+def test_init_state_with_map_tracks_immediately():
+    """Steady-state start: all features registered; the filter should track
+    with small error from step one (the full-map benchmark configuration)."""
+    rng = np.random.default_rng(3)
+    lm = rng.uniform(-500.0, 500.0, size=(6, 2)).astype(np.float32)
+    state = ekf.init_state_with_map(jnp.asarray(lm), sigma0=0.5)
+    assert int(state.n_active) == 6
+    np.testing.assert_array_equal(np.asarray(state.table), np.arange(6))
+    np.testing.assert_allclose(np.asarray(state.features), lm, atol=1e-5)
+    # Covariance: zero pose block, sigma0^2 I feature blocks.
+    p = np.asarray(state.p)
+    np.testing.assert_allclose(p[:3, :3], 0.0)
+    np.testing.assert_allclose(np.diag(p)[3:15], 0.25, atol=1e-6)

@@ -135,3 +135,47 @@ def test_sharded_pf_pipeline_matches_single_device():
             np.asarray(getattr(out, name)), np.asarray(getattr(ref, name)),
             rtol=1e-4, atol=1e-5,
         )
+
+
+def test_sharded_augment_matches_single_device():
+    from conan_slam_tpu.filters import ekf
+    from conan_slam_tpu.filters.common import CompactObs
+    from conan_slam_tpu.models import sensor
+
+    mesh = make_mesh({STATE_AXIS: 8})
+    rng = np.random.default_rng(9)
+    cap = 30
+    d = 3 + 2 * cap
+    n_act = 4
+    feats = rng.uniform(-300, 300, size=(n_act, 2)).astype(np.float32)
+    state = ekf.init_state(cap, 40)
+    x0 = np.zeros((d,), np.float32)
+    x0[:3] = [2.0, -1.0, 0.3]
+    x0[3:3 + 2 * n_act] = feats.reshape(-1)
+    na = 3 + 2 * n_act
+    a = rng.normal(size=(na, na)).astype(np.float32) * 0.1
+    p0 = np.zeros((d, d), np.float32)
+    p0[:na, :na] = a @ a.T + np.eye(na, dtype=np.float32) * 0.2
+    table = np.full((40,), -1, np.int32)
+    table[:n_act] = np.arange(n_act)
+    state = state._replace(x=jnp.asarray(x0), p=jnp.asarray(p0),
+                           n_active=jnp.int32(n_act), table=jnp.asarray(table))
+
+    z = jnp.asarray([[120.0, 0.5], [60.0, -0.9], [0.0, 0.0]], jnp.float32)
+    ids = jnp.asarray([10, 11, -1], jnp.int32)
+    new_mask = jnp.asarray([True, True, False])
+    obs = CompactObs(z=z, ids=ids, mask=jnp.asarray([True, True, False]))
+    r = jnp.asarray(np.diag([0.08, 0.0024]).astype(np.float32))
+
+    ref = ekf.augment(state, obs, new_mask, r)
+
+    xs, ps = dist_ekf.shard_state(mesh, state.x, state.p)
+    xs, ps, n_act_new, table_new = dist_ekf.sharded_augment(
+        mesh, xs, ps, z, ids, new_mask, r, state.n_active, state.table
+    )
+    np.testing.assert_allclose(np.asarray(xs)[:d], np.asarray(ref.x),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ps)[:d, :d], np.asarray(ref.p),
+                               rtol=1e-3, atol=1e-3)
+    assert int(n_act_new) == int(ref.n_active)
+    np.testing.assert_array_equal(np.asarray(table_new), np.asarray(ref.table))
