@@ -2,6 +2,10 @@
 
 Run on TPU: python benchmarks/bench_kernels.py
 """
+
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys, time
 import numpy as np
 

@@ -5,6 +5,10 @@ canonical valet world at 1k particles (and a sweep).  Run on TPU:
     python benchmarks/bench_pf.py
 """
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import sys
 import time
 

@@ -68,6 +68,10 @@ class SlamConfig:
     switch_batch_update: bool = True
     switch_sample_proposal: bool = True
     switch_resample: bool = True
+    # Reference-faithful iterated proposal fusion (order-dependent scan,
+    # PF.cpp:513-531) vs the default one-shot information-form fusion
+    # (batched; a valid proposal — importance weights stay exact).
+    proposal_relinearize: bool = False
 
     # --- filter noise inflation factors (reference test/main.cpp:125-129,
     # 242-246: QE=2Q for both filters; RE=8R for EKF, RE=2R for PF) ---
@@ -89,6 +93,10 @@ class SlamConfig:
     # observation frame's predict+heading covariance work as one symmetric
     # rank update of P.  Sequentially equivalent; large HBM-traffic win.
     fast_frame: bool = True
+    # Fold the frame factors into the measurement update so P is rewritten
+    # exactly once per frame (Pallas fused kernel on TPU).  Applies on the
+    # known-association batch path; other paths fall back automatically.
+    fused_obs: bool = True
 
     @property
     def num_effective(self) -> float:

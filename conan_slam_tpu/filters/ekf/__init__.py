@@ -12,9 +12,14 @@ from conan_slam_tpu.filters.ekf.associate import (
     associate_gated,
     associate_known,
 )
-from conan_slam_tpu.filters.ekf.update import batch_update, sequential_update, update
+from conan_slam_tpu.filters.ekf.update import (
+    batch_update,
+    fused_frame_update,
+    sequential_update,
+    update,
+)
 from conan_slam_tpu.filters.ekf.augment import augment
-from conan_slam_tpu.filters.ekf.fastframe import frame_predict_heading
+from conan_slam_tpu.filters.ekf.fastframe import frame_factors, frame_predict_heading
 
 from conan_slam_tpu.filters.common import CompactObs
 

@@ -61,6 +61,47 @@ def frame_predict_heading(
     ``return_pose_trace`` also returns the exact (S, 3) per-sub-step pose
     means (the pose is tracked exactly through the compounding).
     """
+    x, pose_trace, vmat, bmat = _frame_core(
+        state, vns, swans, phi_meas, active, q_cov, wheel_base, dt,
+        sigma_heading, use_heading,
+    )
+    p = state.p + jnp.matmul(
+        jnp.matmul(vmat, bmat, precision=PRECISION),
+        vmat.T,
+        precision=PRECISION,
+    )
+    new_state = state._replace(x=x, p=p)
+    if return_pose_trace:
+        return new_state, pose_trace
+    return new_state
+
+
+def frame_factors(
+    state: EKFState,
+    vns, swans, phi_meas, active,
+    q_cov, wheel_base, dt, sigma_heading, use_heading: bool,
+):
+    """Like ``frame_predict_heading`` but WITHOUT materialising P.
+
+    Returns (state_with_updated_mean_and_STALE_P, pose_trace (S, 3),
+    vmat (D, r), bmat (r, r)); the frame's covariance effect is
+    P_frame = state.p + vmat bmat vmat^T.  Consumers fold the factors into
+    the measurement update so P is rewritten exactly once per frame
+    (filters.ekf.update.fused_frame_update + ops.pallas_update).
+    """
+    x, pose_trace, vmat, bmat = _frame_core(
+        state, vns, swans, phi_meas, active, q_cov, wheel_base, dt,
+        sigma_heading, use_heading,
+    )
+    return state._replace(x=x), pose_trace, vmat, bmat
+
+
+def _frame_core(
+    state: EKFState,
+    vns, swans, phi_meas, active,
+    q_cov, wheel_base, dt, sigma_heading, use_heading: bool,
+):
+    """Shared S-sub-step compounding; returns (x, pose_trace, vmat, bmat)."""
     s_steps = len(vns) if isinstance(vns, (list, tuple)) else vns.shape[0]
     d = state.x.shape[0]
     dtype = state.p.dtype
@@ -175,12 +216,4 @@ def frame_predict_heading(
         for i in range(2 + 2 * s_steps, nb):
             bmat = bmat.at[i, i].set(r_head)
 
-    p = state.p + jnp.matmul(
-        jnp.matmul(vmat, bmat, precision=PRECISION),
-        vmat.T,
-        precision=PRECISION,
-    )
-    new_state = state._replace(x=x, p=p)
-    if return_pose_trace:
-        return new_state, jnp.stack(pose_trace)
-    return new_state
+    return x, jnp.stack(pose_trace), vmat, bmat

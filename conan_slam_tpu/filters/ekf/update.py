@@ -62,3 +62,52 @@ def update(state: EKFState, obs: CompactObs, slots, mask, r_cov, batch: bool) ->
     if batch:
         return batch_update(state, obs, slots, mask, r_cov)
     return sequential_update(state, obs, slots, mask, r_cov)
+
+
+def fused_frame_update(
+    state: EKFState, vmat, bmat, obs: CompactObs, slots, mask, r_cov,
+    *, use_pallas: bool = True,
+) -> EKFState:
+    """Frame-factored batch update: ONE rewrite of P per observation frame.
+
+    ``state.p`` is the frame-START covariance; the frame's predict+heading
+    effect is the factored correction ``vmat bmat vmat^T``
+    (filters.ekf.fastframe.frame_factors).  The measurement update operates
+    against the *virtual* covariance P' = P + V B V^T without materialising
+    it:
+
+        P' H^T = P H^T + V (B (V^T H^T))           (cheap: D x r extra)
+        S      = H (P'H^T) + R;  chol; gains as in cholesky_update
+        P_new  = P + V B V^T - W1 W1^T             (single fused pass;
+                                                    ops.pallas_update)
+
+    Masked measurements contribute nothing (zero H rows / identity R),
+    so this runs unconditionally — a frame with no associated measurement
+    degenerates to applying the factored correction alone.
+    """
+    import jax.scipy.linalg as jsl
+
+    from conan_slam_tpu.core.linalg import PRECISION, safe_cholesky, sym
+    from conan_slam_tpu.ops.pallas_update import rank_update_downdate
+
+    v, h, rr = build_batch_operator(state, obs, slots, mask, r_cov)
+    ht = h.T                                                     # (D, 2NZ)
+    pht = jnp.matmul(state.p, ht, precision=PRECISION) + jnp.matmul(
+        vmat,
+        jnp.matmul(bmat, jnp.matmul(vmat.T, ht, precision=PRECISION),
+                   precision=PRECISION),
+        precision=PRECISION,
+    )
+    s = sym(jnp.matmul(h, pht, precision=PRECISION) + rr)
+    chol = safe_cholesky(s)
+    w1t = jsl.solve_triangular(chol, pht.T, lower=True)          # (2NZ, D)
+    lv = jsl.solve_triangular(chol, v, lower=True)
+    x = state.x + w1t.T @ lv
+    x = x.at[2].set(wrap_angle(x[2]))
+    if use_pallas:
+        p = rank_update_downdate(state.p, vmat, bmat, w1t.T)
+    else:
+        from conan_slam_tpu.ops.pallas_update import rank_update_downdate_reference
+
+        p = rank_update_downdate_reference(state.p, vmat, bmat, w1t.T)
+    return state._replace(x=x, p=p)

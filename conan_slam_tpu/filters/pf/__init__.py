@@ -43,6 +43,7 @@ def observation_step(
     num_effective: float,
     sample_proposal_on: bool,
     resample_on: bool,
+    proposal_relinearize: bool = False,
 ) -> ParticleEnsemble:
     """Associate -> proposal+feature updates -> resample -> new features,
     mirroring the driver's PF observation branch (test/main.cpp:290-333)."""
@@ -53,7 +54,8 @@ def observation_step(
 
     def known_branch(ens):
         if sample_proposal_on:
-            e = sample_proposal(ens, obs, slots, known, r_cov, k_prop)
+            e = sample_proposal(ens, obs, slots, known, r_cov, k_prop,
+                                relinearize=proposal_relinearize)
         else:
             e = ens
         e = feature_update(e, obs, slots, known, r_cov)

@@ -34,6 +34,10 @@ def _pick_tile(d: int) -> int:
     return 0
 
 
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
 def rank_update_downdate_reference(p, v, b, w1):
     """jnp reference: P + V B V^T - W1 W1^T."""
     vb = jnp.matmul(v, b, precision=PRECISION)
@@ -56,15 +60,30 @@ def rank_update_downdate(p, v, b, w1, *, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    # Pallas TPU lowering only; CPU (tests) uses the jnp reference unless
+    # explicitly interpreting.
+    if not interpret and jax.default_backend() not in ("tpu", "axon"):
+        return rank_update_downdate_reference(p, v, b, w1)
+
     d = p.shape[0]
     t = _pick_tile(d)
     if t == 0:
-        return rank_update_downdate_reference(p, v, b, w1)
+        # State dims are 3 + 2K (odd): partial boundary tiles are safe for
+        # this kernel (garbage reads only land in out-of-range rows/columns,
+        # which stores drop), so use a cdiv grid — provided the *factor*
+        # minor dims are lane/sublane aligned, which we pad ourselves.
+        t = 256
 
     vb = jnp.matmul(v, b, precision=PRECISION)              # (D, r)
-    r = v.shape[1]
-    m = w1.shape[1]
-    grid = (d // t, d // t)
+    r = _round_up(v.shape[1], 8)
+    m = _round_up(w1.shape[1], 8)
+    if r != v.shape[1]:
+        pad = r - v.shape[1]
+        v = jnp.pad(v, ((0, 0), (0, pad)))
+        vb = jnp.pad(vb, ((0, 0), (0, pad)))
+    if m != w1.shape[1]:
+        w1 = jnp.pad(w1, ((0, 0), (0, m - w1.shape[1])))
+    grid = (pl.cdiv(d, t), pl.cdiv(d, t))
 
     def kernel(p_ref, vb_ref, vt_ref, w1_ref, w1t_ref, out_ref):
         out_ref[:, :] = (

@@ -172,6 +172,7 @@ def pf_sim_step(carry: PFSimCarry, _, *, cfg: SlamConfig, world: World, noise: N
             num_effective=cfg.num_effective,
             sample_proposal_on=cfg.switch_sample_proposal,
             resample_on=cfg.switch_resample,
+            proposal_relinearize=cfg.proposal_relinearize,
         )
 
     ens = jax.lax.cond(do_obs, obs_branch, lambda e: e, ens)
@@ -200,7 +201,8 @@ def run_pf_slam(world: World, cfg: SlamConfig, key: jax.Array, n_steps: int = 25
         key=key,
     )
     step = functools.partial(pf_sim_step, cfg=cfg, world=world, noise=noise)
-    return jax.lax.scan(step, carry, None, length=n_steps)
+    with jax.default_matmul_precision("highest"):
+        return jax.lax.scan(step, carry, None, length=n_steps)
 
 
 def ekf_frame_step(carry: EKFSimCarry, _, *, cfg: SlamConfig, world: World, noise: NoiseCovs):
@@ -215,6 +217,12 @@ def ekf_frame_step(carry: EKFSimCarry, _, *, cfg: SlamConfig, world: World, nois
     sub_outs = []
     steer_state, x_true, state = carry.steer, carry.x_true, carry.state
 
+    fused = (
+        cfg.fast_frame
+        and cfg.fused_obs
+        and cfg.switch_association_known
+        and cfg.switch_batch_update
+    )
     if cfg.fast_frame:
         # Rank-compounded frame update (filters.ekf.fastframe): advance the
         # cheap O(1) truth/steering chain per sub-step, then apply all
@@ -236,19 +244,20 @@ def ekf_frame_step(carry: EKFSimCarry, _, *, cfg: SlamConfig, world: World, nois
                     n_active=state.n_active,
                 )
             )
-        state, pose_trace = ekf_mod.frame_predict_heading(
-            state,
-            jnp.stack(vns),
-            jnp.stack(swans),
-            jnp.stack(phis),
-            jnp.stack(actives),
-            noise.qe,
-            cfg.wheel_base,
-            cfg.dt_controls,
-            cfg.sigma_heading,
+        frame_args = (
+            jnp.stack(vns), jnp.stack(swans), jnp.stack(phis), jnp.stack(actives),
+            noise.qe, cfg.wheel_base, cfg.dt_controls, cfg.sigma_heading,
             cfg.switch_heading_known,
-            return_pose_trace=True,
         )
+        if fused:
+            # P is rewritten exactly once per frame: the frame's factored
+            # predict+heading correction folds into the measurement update
+            # (filters.ekf.update.fused_frame_update).
+            state, pose_trace, vmat, bmat = ekf_mod.frame_factors(state, *frame_args)
+        else:
+            state, pose_trace = ekf_mod.frame_predict_heading(
+                state, *frame_args, return_pose_trace=True
+            )
         # Per-sub-step pose estimates come from the exact pose tracking
         # inside the compounding (mean of the filter at each sub-step).
         for k in range(interval):
@@ -275,23 +284,47 @@ def ekf_frame_step(carry: EKFSimCarry, _, *, cfg: SlamConfig, world: World, nois
 
     nz = min(world.num_landmarks, cfg.max_observations())
 
-    def obs_branch(state):
+    if fused:
+        # Unconditional fused path: a done/empty frame degenerates to a
+        # zero-factor, all-masked update (exact no-op) — no lax.cond needed.
         obs_full = sensor_sim.get_observations(x_true, world.landmarks, cfg.max_range)
         obs_full = sensor_sim.add_observation_noise(
             k_obs, obs_full, cfg.sigma_r, cfg.sigma_b, cfg.switch_sensor_noise
         )
         obs = compact(obs_full, nz)
-        return ekf_mod.observation_step(
-            state,
-            obs,
-            noise.re,
-            association_known=cfg.switch_association_known,
-            batch=cfg.switch_batch_update,
-            gate_reject=cfg.gate_reject,
-            gate_augment=cfg.gate_augment,
+        live = jnp.logical_not(steer_state.done)
+        assoc = ekf_mod.associate_known(state, obs)
+        state = ekf_mod.fused_frame_update(
+            state, vmat, bmat, obs, assoc.slots,
+            jnp.logical_and(assoc.known_mask, live), noise.re,
         )
+        new_mask = jnp.logical_and(assoc.new_mask, live)
+        state = jax.lax.cond(
+            jnp.any(new_mask),
+            lambda s: ekf_mod.augment(s, obs, new_mask, noise.re),
+            lambda s: s,
+            state,
+        )
+    else:
+        def obs_branch(state):
+            obs_full = sensor_sim.get_observations(x_true, world.landmarks, cfg.max_range)
+            obs_full = sensor_sim.add_observation_noise(
+                k_obs, obs_full, cfg.sigma_r, cfg.sigma_b, cfg.switch_sensor_noise
+            )
+            obs = compact(obs_full, nz)
+            return ekf_mod.observation_step(
+                state,
+                obs,
+                noise.re,
+                association_known=cfg.switch_association_known,
+                batch=cfg.switch_batch_update,
+                gate_reject=cfg.gate_reject,
+                gate_augment=cfg.gate_augment,
+            )
 
-    state = jax.lax.cond(jnp.logical_not(steer_state.done), obs_branch, lambda s: s, state)
+        state = jax.lax.cond(
+            jnp.logical_not(steer_state.done), obs_branch, lambda s: s, state
+        )
     # The frame's last sub-step output reflects the post-update estimate.
     sub_outs[-1] = sub_outs[-1]._replace(x_est=state.x[:3], n_active=state.n_active)
 
@@ -334,7 +367,10 @@ def run_ekf_slam(
     interval = cfg.observe_interval
     n_frames = (n_steps + interval - 1) // interval
     step = functools.partial(ekf_frame_step, cfg=cfg, world=world, noise=noise)
-    carry, outs = jax.lax.scan(step, carry, None, length=n_frames)
+    # Covariance algebra needs true fp32 matmuls; TPU defaults to bf16
+    # passes which destroy positive-definiteness (SURVEY.md section 7.3).
+    with jax.default_matmul_precision("highest"):
+        carry, outs = jax.lax.scan(step, carry, None, length=n_frames)
     # (n_frames, interval, ...) -> (n_frames * interval, ...).
     outs = jax.tree_util.tree_map(
         lambda x: x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:]), outs
