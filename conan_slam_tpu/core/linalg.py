@@ -85,6 +85,67 @@ def inv3(m):
     return adj * idet[..., None, None]
 
 
+def det3(m):
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+
+
+def chol3(m, jitter: float = 0.0):
+    """Closed-form lower Cholesky of (..., 3, 3) SPD matrices.
+
+    Pure VPU arithmetic — TPU's generic batched ``jnp.linalg.cholesky`` /
+    triangular solves serialise tiny problems and dominate particle-filter
+    runtime; these explicit formulas vectorise over arbitrary batch dims.
+    Non-PSD inputs produce zeros (the reference's guard, slam.h:431-434).
+    """
+    eps = 1e-30
+    a = m[..., 0, 0] + jitter
+    l11 = jnp.sqrt(jnp.maximum(a, eps))
+    l21 = m[..., 1, 0] / l11
+    l31 = m[..., 2, 0] / l11
+    t22 = m[..., 1, 1] + jitter - l21 * l21
+    l22 = jnp.sqrt(jnp.maximum(t22, eps))
+    l32 = (m[..., 2, 1] - l31 * l21) / l22
+    t33 = m[..., 2, 2] + jitter - l31 * l31 - l32 * l32
+    l33 = jnp.sqrt(jnp.maximum(t33, eps))
+    zero = jnp.zeros_like(a)
+    chol = jnp.stack(
+        [
+            jnp.stack([l11, zero, zero], axis=-1),
+            jnp.stack([l21, l22, zero], axis=-1),
+            jnp.stack([l31, l32, l33], axis=-1),
+        ],
+        axis=-2,
+    )
+    ok = jnp.logical_and(a > 0, jnp.logical_and(t22 > 0, t33 > 0))
+    return jnp.where(ok[..., None, None], chol, jnp.zeros_like(chol))
+
+
+def mvn_logpdf2(v, s, jitter: float = 0.0):
+    """Closed-form log N(v; 0, S) for (..., 2) innovations, (..., 2, 2) S."""
+    if jitter:
+        s = s + jitter * jnp.eye(2, dtype=s.dtype)
+    det = jnp.maximum(det2(s), 1e-30)
+    maha = (
+        s[..., 1, 1] * v[..., 0] ** 2
+        - (s[..., 0, 1] + s[..., 1, 0]) * v[..., 0] * v[..., 1]
+        + s[..., 0, 0] * v[..., 1] ** 2
+    ) / det
+    return -0.5 * (maha + jnp.log(det) + 2.0 * jnp.log(2.0 * jnp.pi))
+
+
+def mvn_logpdf3(v, s, jitter: float = 0.0):
+    """Closed-form log N(v; 0, S) for (..., 3) innovations, (..., 3, 3) S."""
+    if jitter:
+        s = s + jitter * jnp.eye(3, dtype=s.dtype)
+    det = jnp.maximum(det3(s), 1e-30)
+    si = inv3(s)
+    maha = jnp.einsum("...a,...ab,...b->...", v, si, v)
+    return -0.5 * (maha + jnp.log(det) + 3.0 * jnp.log(2.0 * jnp.pi))
+
+
 def solve_psd(s, b, jitter: float = 0.0):
     """Solve S x = b for symmetric positive-definite S via Cholesky."""
     chol = safe_cholesky(s, jitter)

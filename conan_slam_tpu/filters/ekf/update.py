@@ -66,8 +66,8 @@ def update(state: EKFState, obs: CompactObs, slots, mask, r_cov, batch: bool) ->
 
 def fused_frame_update(
     state: EKFState, vmat, bmat, obs: CompactObs, slots, mask, r_cov,
-    *, use_pallas: bool = True,
-) -> EKFState:
+    *, use_pallas: bool = True, return_nis: bool = False,
+):
     """Frame-factored batch update: ONE rewrite of P per observation frame.
 
     ``state.p`` is the frame-START covariance; the frame's predict+heading
@@ -100,8 +100,13 @@ def fused_frame_update(
     )
     s = sym(jnp.matmul(h, pht, precision=PRECISION) + rr)
     chol = safe_cholesky(s)
-    w1t = jsl.solve_triangular(chol, pht.T, lower=True)          # (2NZ, D)
-    lv = jsl.solve_triangular(chol, v, lower=True)
+    # Invert the small (2NZ, 2NZ) factor once, then hit the D-wide gain with
+    # a dense MXU matmul — a triangular solve with a D-wide RHS serialises
+    # on TPU.
+    eye_m = jnp.eye(s.shape[0], dtype=s.dtype)
+    linv = jsl.solve_triangular(chol, eye_m, lower=True)         # L^-1
+    w1t = jnp.matmul(linv, pht.T, precision=PRECISION)           # (2NZ, D)
+    lv = linv @ v
     x = state.x + w1t.T @ lv
     x = x.at[2].set(wrap_angle(x[2]))
     if use_pallas:
@@ -110,4 +115,10 @@ def fused_frame_update(
         from conan_slam_tpu.ops.pallas_update import rank_update_downdate_reference
 
         p = rank_update_downdate_reference(state.p, vmat, bmat, w1t.T)
-    return state._replace(x=x, p=p)
+    new_state = state._replace(x=x, p=p)
+    if return_nis:
+        # ||L^-1 v||^2 = v^T S^-1 v: the stacked NIS, normalised per
+        # associated measurement (a chi^2_2 consistency statistic).
+        n_meas = jnp.maximum(jnp.sum(mask.astype(lv.dtype)), 1.0)
+        return new_state, jnp.sum(lv * lv) / n_meas
+    return new_state

@@ -70,9 +70,9 @@ def observation_step(
             keys = jax.random.split(k_samp, e.num_particles)
 
             def one(pose, cov, kk):
-                from conan_slam_tpu.core.linalg import safe_cholesky
+                from conan_slam_tpu.core.linalg import chol3
 
-                return pose + safe_cholesky(cov, 1e-8) @ jax.random.normal(
+                return pose + chol3(cov, 1e-8) @ jax.random.normal(
                     kk, (3,), dtype=pose.dtype
                 )
 

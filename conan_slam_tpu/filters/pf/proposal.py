@@ -21,7 +21,15 @@ import jax
 import jax.numpy as jnp
 
 from conan_slam_tpu.core.geometry import wrap_angle
-from conan_slam_tpu.core.linalg import inv2, inv3, mvn_logpdf, safe_cholesky, sym
+from conan_slam_tpu.core.linalg import (
+    chol3,
+    inv2,
+    inv3,
+    mvn_logpdf2,
+    mvn_logpdf3,
+    safe_cholesky,
+    sym,
+)
 from conan_slam_tpu.filters.common import CompactObs
 from conan_slam_tpu.filters.pf.state import ParticleEnsemble
 from conan_slam_tpu.models import sensor
@@ -57,7 +65,7 @@ def _particle_proposal(pose, cov, xf, pf, z, slots, mask, r_cov, key):
     # Sample from the proposal (reference PF.cpp:534 via
     # multivariateNormalGaussianDistribution, slam.h:753-764 — whose rng is
     # reseeded with a constant every call, defect 2; jax.random here).
-    chol = safe_cholesky(p_fused, _COV_JITTER)
+    chol = chol3(p_fused, _COV_JITTER)
     xs = x_fused + chol @ jax.random.normal(key, (3,), dtype=pose.dtype)
     xs = xs.at[2].set(wrap_angle(xs[2]))
 
@@ -70,10 +78,10 @@ def _particle_proposal(pose, cov, xf, pf, z, slots, mask, r_cov, key):
     )
     v_s = z - zp_s
     v_s = v_s.at[:, 1].set(wrap_angle(v_s[:, 1]))
-    ll = jnp.sum(jnp.where(mask, mvn_logpdf(v_s, sf_s, _COV_JITTER), 0.0))
+    ll = jnp.sum(jnp.where(mask, mvn_logpdf2(v_s, sf_s, _COV_JITTER), 0.0))
 
-    log_prior = mvn_logpdf(_delta(pose, xs), cov, _COV_JITTER)
-    log_prop = mvn_logpdf(_delta(x_fused, xs), p_fused, _COV_JITTER)
+    log_prior = mvn_logpdf3(_delta(pose, xs), cov, _COV_JITTER)
+    log_prop = mvn_logpdf3(_delta(x_fused, xs), p_fused, _COV_JITTER)
     return xs, ll + log_prior - log_prop
 
 
@@ -105,18 +113,19 @@ def _particle_proposal_batched(pose, cov, xf, pf, z, slots, mask, r_cov, key):
     )
     x_fused = pose + p_fused @ info_vec
 
-    chol = safe_cholesky(p_fused, _COV_JITTER)
+    chol = chol3(p_fused, _COV_JITTER)
     xs = x_fused + chol @ jax.random.normal(key, (3,), dtype=pose.dtype)
     xs = xs.at[2].set(wrap_angle(xs[2]))
 
-    # Likelihood at the sampled pose (as in the sequential form).
+    # Likelihood at the sampled pose (as in the sequential form).  All
+    # densities via closed-form 2x2/3x3 routines (no serialised TPU linalg).
     zp_s, _, hf_s = sensor.observe(xs, xf[slots])
     sf_s = sym(jnp.einsum("nab,nbc,ndc->nad", hf_s, pf[slots], hf_s) + r_cov)
     v_s = z - zp_s
     v_s = v_s.at[:, 1].set(wrap_angle(v_s[:, 1]))
-    ll = jnp.sum(jnp.where(mask, mvn_logpdf(v_s, sf_s, _COV_JITTER), 0.0))
-    log_prior = mvn_logpdf(_delta(pose, xs), cov, _COV_JITTER)
-    log_prop = mvn_logpdf(_delta(x_fused, xs), p_fused, _COV_JITTER)
+    ll = jnp.sum(jnp.where(mask, mvn_logpdf2(v_s, sf_s, _COV_JITTER), 0.0))
+    log_prior = mvn_logpdf3(_delta(pose, xs), cov, _COV_JITTER)
+    log_prop = mvn_logpdf3(_delta(x_fused, xs), p_fused, _COV_JITTER)
     return xs, ll + log_prior - log_prop
 
 

@@ -42,10 +42,13 @@ def cholesky_update(x, p, v, r, h, *, jitter: float = 0.0):
     pht = jnp.matmul(p, h.T, precision=PRECISION)
     s = sym(jnp.matmul(h, pht, precision=PRECISION) + r)
     chol = safe_cholesky(s, jitter)
-    # W1 = PHT L^-T  <=>  solve L W1^T = PHT^T.
-    w1t = jax.scipy.linalg.solve_triangular(chol, pht.T, lower=True)
+    # W1 = PHT L^-T via an explicit small L^-1 then a dense MXU matmul
+    # (a triangular solve with a D-wide RHS serialises on TPU).
+    eye_m = jnp.eye(s.shape[-1], dtype=s.dtype)
+    linv = jax.scipy.linalg.solve_triangular(chol, eye_m, lower=True)
+    w1t = jnp.matmul(linv, pht.T, precision=PRECISION)
     # W = W1 L^-1; x += W v  <=>  x += W1 (L^-1 v).
-    lv = jax.scipy.linalg.solve_triangular(chol, v, lower=True)
+    lv = linv @ v
     x_new = x + w1t.T @ lv
     p_new = sym(p - jnp.matmul(w1t.T, w1t, precision=PRECISION))
     return x_new, p_new

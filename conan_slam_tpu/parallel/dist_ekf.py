@@ -75,8 +75,12 @@ def sharded_cholesky_update(mesh, x, p, v, r, h, axis: str = STATE_AXIS):
         s_part = jnp.matmul(h_l, pht_l, precision=PRECISION)        # (m, m)
         s = sym(jax.lax.psum(s_part, axis) + r)
         chol = safe_cholesky(s)
-        w1t_l = jax.scipy.linalg.solve_triangular(chol, pht_l.T, lower=True)
-        lv = jax.scipy.linalg.solve_triangular(chol, v, lower=True)
+        # Small explicit L^-1 + dense matmul (TPU triangular solves with
+        # wide RHS serialise); replicated, no extra communication.
+        eye_m = jnp.eye(s.shape[0], dtype=s.dtype)
+        linv = jax.scipy.linalg.solve_triangular(chol, eye_m, lower=True)
+        w1t_l = jnp.matmul(linv, pht_l.T, precision=PRECISION)
+        lv = linv @ v
         x_new = x_l + w1t_l.T @ lv
         w1t_full = jax.lax.all_gather(w1t_l, axis, axis=1, tiled=True)  # (m, dp)
         p_new = p_l - jnp.matmul(w1t_l.T, w1t_full, precision=PRECISION)

@@ -60,6 +60,11 @@ class SimOutputs(NamedTuple):
     x_est: jax.Array    # (T, 3)
     done: jax.Array     # (T,) bool
     n_active: jax.Array  # (T,) int32 map size
+    # Filter-consistency observability (SURVEY.md section 5): for the EKF,
+    # the frame's normalised innovation squared per associated measurement
+    # (chi^2_2-distributed when consistent); for the PF, the effective
+    # sample size.  Zero on non-observation steps.
+    consistency: jax.Array  # (T,) float32
 
 
 def _advance_truth(carry_steer, x_true, world, cfg, key):
@@ -128,7 +133,8 @@ def ekf_sim_step(carry: EKFSimCarry, _, *, cfg: SlamConfig, world: World, noise:
     )
 
     out = SimOutputs(
-        x_true=x_true, x_est=state.x[:3], done=st.done, n_active=state.n_active
+        x_true=x_true, x_est=state.x[:3], done=st.done, n_active=state.n_active,
+        consistency=jnp.float32(0.0),
     )
     return EKFSimCarry(steer=st, x_true=x_true, state=state, step_in_frame=step_in_frame, key=key), out
 
@@ -185,6 +191,7 @@ def pf_sim_step(carry: PFSimCarry, _, *, cfg: SlamConfig, world: World, noise: N
         x_est=pf_mod.mean_pose(ens),
         done=st.done,
         n_active=ens.n_active,
+        consistency=pf_mod.effective_count(pf_mod.normalized_weights(ens)),
     )
     return PFSimCarry(steer=st, x_true=x_true, ens=ens, step_in_frame=step_in_frame, key=key), out
 
@@ -241,7 +248,7 @@ def ekf_frame_step(carry: EKFSimCarry, _, *, cfg: SlamConfig, world: World, nois
             sub_outs.append(
                 SimOutputs(
                     x_true=x_true, x_est=state.x[:3], done=steer_state.done,
-                    n_active=state.n_active,
+                    n_active=state.n_active, consistency=jnp.float32(0.0),
                 )
             )
         frame_args = (
@@ -294,9 +301,10 @@ def ekf_frame_step(carry: EKFSimCarry, _, *, cfg: SlamConfig, world: World, nois
         obs = compact(obs_full, nz)
         live = jnp.logical_not(steer_state.done)
         assoc = ekf_mod.associate_known(state, obs)
-        state = ekf_mod.fused_frame_update(
+        state, frame_nis = ekf_mod.fused_frame_update(
             state, vmat, bmat, obs, assoc.slots,
             jnp.logical_and(assoc.known_mask, live), noise.re,
+            return_nis=True,
         )
         new_mask = jnp.logical_and(assoc.new_mask, live)
         state = jax.lax.cond(
@@ -326,7 +334,10 @@ def ekf_frame_step(carry: EKFSimCarry, _, *, cfg: SlamConfig, world: World, nois
             jnp.logical_not(steer_state.done), obs_branch, lambda s: s, state
         )
     # The frame's last sub-step output reflects the post-update estimate.
-    sub_outs[-1] = sub_outs[-1]._replace(x_est=state.x[:3], n_active=state.n_active)
+    frame_cons = frame_nis if fused else jnp.float32(0.0)
+    sub_outs[-1] = sub_outs[-1]._replace(
+        x_est=state.x[:3], n_active=state.n_active, consistency=frame_cons
+    )
 
     outs = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *sub_outs)
     new_carry = EKFSimCarry(

@@ -123,3 +123,30 @@ def test_sample_mvn_statistics():
     xs = sample_mvn(jax.random.PRNGKey(0), mean, cov, num_samples=20000)
     np.testing.assert_allclose(xs.mean(axis=0), mean, atol=0.05)
     np.testing.assert_allclose(np.cov(np.asarray(xs).T), cov, atol=0.08)
+
+
+def test_closed_form_chol3_and_logpdfs():
+    from conan_slam_tpu.core.linalg import chol3, mvn_logpdf2, mvn_logpdf3, mvn_logpdf
+    rng = np.random.default_rng(5)
+    a = rng.normal(size=(7, 3, 3)).astype(np.float32)
+    s3 = a @ a.transpose(0, 2, 1) + np.eye(3, dtype=np.float32) * 0.3
+    c = np.asarray(chol3(jnp.asarray(s3)))
+    np.testing.assert_allclose(c @ c.transpose(0, 2, 1), s3, rtol=1e-4, atol=1e-4)
+    # Non-PSD -> zeros.
+    bad = np.eye(3, dtype=np.float32); bad[2, 2] = -1.0
+    assert np.all(np.asarray(chol3(jnp.asarray(bad))) == 0.0)
+
+    v3 = rng.normal(size=(7, 3)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(mvn_logpdf3(jnp.asarray(v3), jnp.asarray(s3))),
+        np.asarray(mvn_logpdf(jnp.asarray(v3), jnp.asarray(s3))),
+        rtol=1e-4, atol=1e-4,
+    )
+    b = rng.normal(size=(7, 2, 2)).astype(np.float32)
+    s2 = b @ b.transpose(0, 2, 1) + np.eye(2, dtype=np.float32) * 0.3
+    v2 = rng.normal(size=(7, 2)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(mvn_logpdf2(jnp.asarray(v2), jnp.asarray(s2))),
+        np.asarray(mvn_logpdf(jnp.asarray(v2), jnp.asarray(s2))),
+        rtol=1e-4, atol=1e-4,
+    )

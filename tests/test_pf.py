@@ -164,3 +164,30 @@ def test_e2e_pf_noise_free_tracks_truth():
     ate = metrics.ate_rmse(outs.x_true, outs.x_est, valid)
     assert float(ate) < 1.0, f"noise-free PF ATE too high: {float(ate)}"
     assert int(carry.ens.n_active) > 0
+
+
+def test_sample_proposal_relinearized_path():
+    """The reference-faithful iterated-fusion path must also run (it has no
+    default-path coverage otherwise) and broadly agree with the batched one."""
+    feats = np.asarray([[30.0, 10.0], [-20.0, 25.0]], np.float32)
+    n = 16
+    ens = _ens_with_features(n=n, feats=feats)
+    ens = ens._replace(
+        pose=jnp.tile(jnp.asarray([1.0, -0.5, 0.02]), (n, 1)),
+        pose_cov=jnp.tile(jnp.eye(3) * jnp.asarray([1.0, 1.0, 0.01]), (n, 1, 1)),
+    )
+    from conan_slam_tpu.models import sensor
+    zp, _, _ = sensor.observe(jnp.zeros(3), jnp.asarray(feats))
+    obs = CompactObs(z=zp, ids=jnp.asarray([0, 1], jnp.int32),
+                     mask=jnp.asarray([True, True]))
+    r = jnp.asarray(np.diag([0.01, 0.0003]).astype(np.float32))
+    out_seq = pf.sample_proposal(ens, obs, jnp.asarray([0, 1]),
+                                 jnp.asarray([True, True]), r,
+                                 jax.random.PRNGKey(0), relinearize=True)
+    out_bat = pf.sample_proposal(ens, obs, jnp.asarray([0, 1]),
+                                 jnp.asarray([True, True]), r,
+                                 jax.random.PRNGKey(0), relinearize=False)
+    assert np.all(np.isfinite(np.asarray(out_seq.log_w)))
+    # Same keys, nearly-linear problem: fused poses should be close.
+    np.testing.assert_allclose(np.asarray(out_seq.pose), np.asarray(out_bat.pose),
+                               atol=0.2)
