@@ -85,6 +85,29 @@ def inv3(m):
     return adj * idet[..., None, None]
 
 
+def bmm_small(a, b):
+    """Batched matmul for TINY trailing dims via broadcast-multiply-sum.
+
+    ``jnp.einsum``/``@`` on (N, 3, 3)-style operands lower to dot_general,
+    which TPU pads per batch element to MXU/VPU tiles (~100x wasted work for
+    particle-filter-sized blocks).  The broadcast form stays pure VPU.
+    a: (..., m, k), b: (..., k, n) -> (..., m, n).
+    """
+    return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
+
+
+def bmv_small(a, v):
+    """Batched matvec for tiny dims: (..., m, k) x (..., k) -> (..., m)."""
+    return jnp.sum(a * v[..., None, :], axis=-1)
+
+
+def quad_small(h, p, r=None):
+    """H P H^T + R for tiny blocks: (..., a, k), (..., k, k) -> (..., a, a)."""
+    hp = bmm_small(h, p)
+    out = jnp.sum(hp[..., :, None, :] * h[..., None, :, :], axis=-1)
+    return out if r is None else out + r
+
+
 def det3(m):
     a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
     d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
@@ -142,7 +165,7 @@ def mvn_logpdf3(v, s, jitter: float = 0.0):
         s = s + jitter * jnp.eye(3, dtype=s.dtype)
     det = jnp.maximum(det3(s), 1e-30)
     si = inv3(s)
-    maha = jnp.einsum("...a,...ab,...b->...", v, si, v)
+    maha = jnp.sum(v * bmv_small(si, v), axis=-1)
     return -0.5 * (maha + jnp.log(det) + 3.0 * jnp.log(2.0 * jnp.pi))
 
 

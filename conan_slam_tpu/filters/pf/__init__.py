@@ -70,10 +70,10 @@ def observation_step(
             keys = jax.random.split(k_samp, e.num_particles)
 
             def one(pose, cov, kk):
-                from conan_slam_tpu.core.linalg import chol3
+                from conan_slam_tpu.core.linalg import bmv_small, chol3
 
-                return pose + chol3(cov, 1e-8) @ jax.random.normal(
-                    kk, (3,), dtype=pose.dtype
+                return pose + bmv_small(
+                    chol3(cov, 1e-8), jax.random.normal(kk, (3,), dtype=pose.dtype)
                 )
 
             pose = jax.vmap(one)(e.pose, e.pose_cov, keys)

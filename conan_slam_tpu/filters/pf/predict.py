@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from conan_slam_tpu.core.geometry import wrap_angle
-from conan_slam_tpu.core.linalg import sym
+from conan_slam_tpu.core.linalg import bmm_small, quad_small, sym
 from conan_slam_tpu.filters.pf.state import ParticleEnsemble
 from conan_slam_tpu.models import motion
 
@@ -23,8 +23,9 @@ def predict(ens: ParticleEnsemble, v, swa, q_cov, wheel_base, dt) -> ParticleEns
     conditionally independent given the trajectory (Rao-Blackwellization).
     """
     gv, gu = motion.jacobians(ens.pose, v, swa, wheel_base, dt)  # (N,3,3) (N,3,2)
-    guq = jnp.einsum("nab,bc,ndc->nad", gu, q_cov, gu)
-    cov = sym(jnp.einsum("nab,nbc,ndc->nad", gv, ens.pose_cov, gv) + guq)
+    # Tiny-block algebra via broadcast ops (see core.linalg.bmm_small).
+    guq = quad_small(gu, jnp.broadcast_to(q_cov, gu.shape[:-2] + (2, 2)))
+    cov = sym(quad_small(gv, ens.pose_cov) + guq)
     pose = motion.step(ens.pose, v, swa, wheel_base, dt)
     return ens._replace(pose=pose, pose_cov=cov)
 

@@ -22,12 +22,14 @@ import jax.numpy as jnp
 
 from conan_slam_tpu.core.geometry import wrap_angle
 from conan_slam_tpu.core.linalg import (
+    bmm_small,
+    bmv_small,
     chol3,
     inv2,
     inv3,
     mvn_logpdf2,
     mvn_logpdf3,
-    safe_cholesky,
+    quad_small,
     sym,
 )
 from conan_slam_tpu.filters.common import CompactObs
@@ -97,30 +99,26 @@ def _particle_proposal_batched(pose, cov, xf, pf, z, slots, mask, r_cov, key):
     weight divides by the density of the proposal actually sampled from.
     """
     zp, hv, hf = sensor.observe(pose, xf[slots])                # (NZ, ...)
-    sf = sym(
-        jnp.einsum("nab,nbc,ndc->nad", hf, pf[slots], hf) + r_cov
-    )
+    sf = sym(quad_small(hf, pf[slots], r_cov))
     sfi = inv2(sf)
     v = z - zp
     v = v.at[:, 1].set(wrap_angle(v[:, 1]))
     m3 = mask[:, None, None].astype(pose.dtype)
-    lam = inv3(cov) + jnp.sum(
-        m3 * jnp.einsum("nba,nbc,ncd->nad", hv, sfi, hv), axis=0
-    )
+    hvt = jnp.swapaxes(hv, -1, -2)                              # (NZ, 3, 2)
+    hvt_sfi = bmm_small(hvt, sfi)                               # (NZ, 3, 2)
+    lam = inv3(cov) + jnp.sum(m3 * bmm_small(hvt_sfi, hv), axis=0)
     p_fused = sym(inv3(lam))
-    info_vec = jnp.sum(
-        mask[:, None] * jnp.einsum("nba,nbc,nc->na", hv, sfi, v), axis=0
-    )
-    x_fused = pose + p_fused @ info_vec
+    info_vec = jnp.sum(mask[:, None] * bmv_small(hvt_sfi, v), axis=0)
+    x_fused = pose + bmv_small(p_fused, info_vec)
 
     chol = chol3(p_fused, _COV_JITTER)
-    xs = x_fused + chol @ jax.random.normal(key, (3,), dtype=pose.dtype)
+    xs = x_fused + bmv_small(chol, jax.random.normal(key, (3,), dtype=pose.dtype))
     xs = xs.at[2].set(wrap_angle(xs[2]))
 
     # Likelihood at the sampled pose (as in the sequential form).  All
     # densities via closed-form 2x2/3x3 routines (no serialised TPU linalg).
     zp_s, _, hf_s = sensor.observe(xs, xf[slots])
-    sf_s = sym(jnp.einsum("nab,nbc,ndc->nad", hf_s, pf[slots], hf_s) + r_cov)
+    sf_s = sym(quad_small(hf_s, pf[slots], r_cov))
     v_s = z - zp_s
     v_s = v_s.at[:, 1].set(wrap_angle(v_s[:, 1]))
     ll = jnp.sum(jnp.where(mask, mvn_logpdf2(v_s, sf_s, _COV_JITTER), 0.0))

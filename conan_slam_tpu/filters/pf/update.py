@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from conan_slam_tpu.core.geometry import wrap_angle
-from conan_slam_tpu.core.linalg import inv2, sym
+from conan_slam_tpu.core.linalg import bmm_small, bmv_small, inv2, quad_small, sym
 from conan_slam_tpu.filters.common import CompactObs
 from conan_slam_tpu.filters.pf.state import ParticleEnsemble
 from conan_slam_tpu.models import sensor
@@ -34,11 +34,12 @@ def feature_update(
         zp, _, hf = sensor.observe(pose, xf_s)
         v = obs.z - zp
         v = v.at[:, 1].set(wrap_angle(v[:, 1]))
-        s = sym(jnp.einsum("nab,nbc,ndc->nad", hf, pf_s, hf) + r_cov)
-        k = jnp.einsum("nab,ncb,ncd->nad", pf_s, hf, inv2(s))   # P H^T S^-1
-        xf_new = xf_s + jnp.einsum("nab,nb->na", k, v)
-        kh = jnp.einsum("nab,nbc->nac", k, hf)
-        pf_new = sym(pf_s - jnp.einsum("nab,nbc->nac", kh, pf_s))
+        s = sym(quad_small(hf, pf_s, r_cov))
+        hft = jnp.swapaxes(hf, -1, -2)
+        k = bmm_small(bmm_small(pf_s, hft), inv2(s))            # P H^T S^-1
+        xf_new = xf_s + bmv_small(k, v)
+        kh = bmm_small(k, hf)
+        pf_new = sym(pf_s - bmm_small(kh, pf_s))
         xf_new = jnp.where(mask[:, None], xf_new, xf_s)
         pf_new = jnp.where(mask[:, None, None], pf_new, pf_s)
         return xf.at[safe_slots].set(xf_new), pf.at[safe_slots].set(pf_new)
@@ -66,7 +67,7 @@ def add_new_features(
 
     def one_particle(pose, xf, pf):
         xf_new, _, gz = sensor.init_feature(pose, obs.z)     # (NZ,2) (NZ,2,2)
-        pf_new = jnp.einsum("nab,bc,ndc->nad", gz, r_cov, gz)
+        pf_new = quad_small(gz, jnp.broadcast_to(r_cov, gz.shape[:-2] + (2, 2)))
         xf = xf.at[safe_slots].set(xf_new, mode="drop")
         pf = pf.at[safe_slots].set(pf_new, mode="drop")
         return xf, pf
