@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from conan_slam_tpu.core.geometry import wrap_angle
-from conan_slam_tpu.core.linalg import PRECISION, det2, inv2
+from conan_slam_tpu.core.linalg import PRECISION, bmm_small, bmv_small, det2, inv2, quad_small
 from conan_slam_tpu.filters.common import CompactObs
 from conan_slam_tpu.filters.ekf.state import EKFState
 from conan_slam_tpu.models import sensor
@@ -62,13 +62,15 @@ def _innovation_stats(state: EKFState, r_cov):
     idx = jnp.arange(k)
     pjj = pmm[idx, :, idx, :]                                       # (K, 2, 2)
 
-    hv_p = jnp.einsum("kab,bc->kac", hv, pvv, precision=PRECISION)       # Hv Pvv
-    cross = jnp.einsum("kab,kbc,kdc->kad", hv, pvm, hf, precision=PRECISION)  # Hv Pvj Hf^T
+    # Tiny-block algebra via broadcast ops (core.linalg.bmm_small): batched
+    # 2x2/2x3 dot_general pads to MXU tiles on TPU.
+    pvv_b = jnp.broadcast_to(pvv, hv.shape[:-2] + (3, 3))
+    cross = bmm_small(bmm_small(hv, pvm), jnp.swapaxes(hf, -1, -2))  # Hv Pvj Hf^T
     s = (
-        jnp.einsum("kab,kcb->kac", hv_p, hv, precision=PRECISION)
+        quad_small(hv, pvv_b)
         + cross
         + cross.transpose(0, 2, 1)
-        + jnp.einsum("kab,kbc,kdc->kad", hf, pjj, hf, precision=PRECISION)
+        + quad_small(hf, pjj)
         + r_cov
     )
     return zp, s
@@ -91,7 +93,8 @@ def associate_gated(
 
     v = obs.z[:, None, :] - zp[None, :, :]                    # (NZ, K, 2)
     v = v.at[..., 1].set(wrap_angle(v[..., 1]))
-    nis = jnp.einsum("ika,kab,ikb->ik", v, sinv, v, precision=PRECISION)
+    siv = bmv_small(sinv[None, :, :, :], v)                   # (NZ, K, 2)
+    nis = jnp.sum(v * siv, axis=-1)
     nd = nis + logdet[None, :]
 
     active = state.active_mask[None, :]                       # (1, K)

@@ -23,7 +23,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from conan_slam_tpu.core.linalg import PRECISION
+from conan_slam_tpu.core.linalg import PRECISION, quad_small
 from conan_slam_tpu.filters.common import CompactObs
 from conan_slam_tpu.filters.ekf.state import EKFState
 from conan_slam_tpu.models import sensor
@@ -65,7 +65,7 @@ def augment(state: EKFState, obs: CompactObs, new_mask, r_cov) -> EKFState:
     cross = jnp.einsum(
         "iab,bc,jdc->iajd", gv, pvv, gv, precision=PRECISION
     )                                                                # (NZ,2,NZ,2)
-    diag_extra = jnp.einsum("iab,bc,idc->iad", gz, r_cov, gz, precision=PRECISION)
+    diag_extra = quad_small(gz, jnp.broadcast_to(r_cov, gz.shape[:-2] + (2, 2)))
     idx = jnp.arange(nz)
     cross = cross.at[idx, :, idx, :].add(diag_extra)
     p = p.at[rows2[:, None], rows2[None, :]].set(
