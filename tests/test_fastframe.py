@@ -160,3 +160,43 @@ def test_fastframe_respects_done_mask():
     )
     np.testing.assert_allclose(np.asarray(fast0.x), np.asarray(state.x), atol=1e-6)
     np.testing.assert_allclose(np.asarray(fast0.p), np.asarray(state.p), atol=1e-5)
+
+
+def test_fused_frame_update_matches_materialized_path():
+    """frame_factors + fused_frame_update == frame_predict_heading +
+    batch_update (the same frame, two data flows)."""
+    from conan_slam_tpu.filters.ekf.fastframe import frame_factors
+    from conan_slam_tpu.filters.common import CompactObs
+    from conan_slam_tpu.models import sensor
+
+    rng = np.random.default_rng(21)
+    state = _active_state(rng, cap=10, n_act=7)
+    s_steps = 6
+    q = jnp.asarray(np.diag([0.18, 0.0006]).astype(np.float32))
+    vns = jnp.asarray(83.33 + rng.normal(size=s_steps).astype(np.float32) * 0.3)
+    swans = jnp.asarray(0.1 + rng.normal(size=s_steps).astype(np.float32) * 0.02)
+    phis = jnp.asarray(0.4 + np.cumsum(rng.normal(size=s_steps)).astype(np.float32) * 0.002)
+    active = jnp.ones((s_steps,), bool)
+    sig = 0.02
+    args = (vns, swans, phis, active, q, 73.0, 0.01, sig, True)
+
+    # Path A: materialise P then batch update.
+    mat = frame_predict_heading(state, *args)
+    feats = np.asarray(mat.features[:3])
+    zp, _, _ = sensor.observe(mat.pose, jnp.asarray(feats))
+    z = jnp.asarray(np.asarray(zp) + rng.normal(size=(3, 2)).astype(np.float32) * [0.2, 0.01])
+    obs = CompactObs(z=z, ids=jnp.arange(3, dtype=jnp.int32),
+                     mask=jnp.ones((3,), bool))
+    slots = jnp.arange(3, dtype=jnp.int32)
+    mask = jnp.ones((3,), bool)
+    r = jnp.asarray(np.diag([0.08, 0.0024]).astype(np.float32))
+    ref = ekf.batch_update(mat, obs, slots, mask, r)
+
+    # Path B: factors + fused update (jnp fallback on CPU).
+    st_f, _, vmat, bmat = frame_factors(state, *args)
+    fused = ekf.fused_frame_update(st_f, vmat, bmat, obs, slots, mask, r,
+                                   use_pallas=False)
+    np.testing.assert_allclose(np.asarray(fused.x), np.asarray(ref.x),
+                               rtol=1e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(fused.p), np.asarray(ref.p),
+                               rtol=1e-3, atol=2e-3)
