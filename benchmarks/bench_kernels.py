@@ -1,42 +1,69 @@
 """Kernel microbenchmarks: Pallas fused rank-update/downdate vs XLA.
 
 Run on TPU: python benchmarks/bench_kernels.py
+
+Measurement note: on the remote (axon) backend a single dispatched program
+pays ~30 ms of round-trip latency, so each timed call chains ITERS kernel
+applications on device and reports per-application time.
 """
 
-import os, sys
+import os
+import sys
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import sys, time
+import time
+
 import numpy as np
 
+ITERS = 50
+
+
 def main():
-    import jax, jax.numpy as jnp
+    import jax
+    import jax.numpy as jnp
+
     from conan_slam_tpu.ops.pallas_update import (
-        rank_update_downdate, rank_update_downdate_reference)
+        rank_update_downdate,
+        rank_update_downdate_reference,
+    )
 
     print("devices:", jax.devices(), file=sys.stderr)
     rng = np.random.default_rng(0)
-    for d in (1024, 2048, 4096, 8192):
+    for d in (1024, 2051, 4096, 8192):
         r, m = 20, 64
         p = jnp.asarray(rng.normal(size=(d, d)).astype(np.float32))
-        v = jnp.asarray(rng.normal(size=(d, r)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(d, r)).astype(np.float32) * 1e-3)
         b = jnp.eye(r, dtype=jnp.float32)
-        w1 = jnp.asarray(rng.normal(size=(d, m)).astype(np.float32))
+        w1 = jnp.asarray(rng.normal(size=(d, m)).astype(np.float32) * 1e-3)
 
-        f_ref = jax.jit(rank_update_downdate_reference)
-        f_pal = jax.jit(rank_update_downdate)
+        def chained(fn):
+            @jax.jit
+            def run(p, v, b, w1):
+                def body(i, p):
+                    return fn(p, v, b, w1)
+
+                return jax.lax.fori_loop(0, ITERS, body, p)
+
+            return run
+
+        f_ref = chained(rank_update_downdate_reference)
+        f_pal = chained(rank_update_downdate)
         for name, f in (("xla", f_ref), ("pallas", f_pal)):
-            out = f(p, v, b, w1); np.asarray(out)      # warm
+            np.asarray(f(p, v, b, w1)[0, :4])           # warm + fence
             ts = []
-            for _ in range(5):
+            for _ in range(3):
                 t0 = time.perf_counter()
-                out = f(p, v, b, w1)
-                np.asarray(out[0, :8])                  # fence
+                np.asarray(f(p, v, b, w1)[0, :4])
                 ts.append(time.perf_counter() - t0)
-            best = min(ts)
+            per_app = min(ts) / ITERS
             gb = (2 * d * d * 4 + 2 * d * (r + m) * 4) / 1e9
-            print(f"D={d:5d} {name:6s}: {best*1e3:7.3f} ms  "
-                  f"({gb/best:6.1f} GB/s effective)")
+            print(
+                f"D={d:5d} {name:6s}: {per_app * 1e6:9.1f} us/app "
+                f"({gb / per_app:7.1f} GB/s effective)",
+                flush=True,
+            )
+
 
 if __name__ == "__main__":
     main()
