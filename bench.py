@@ -53,7 +53,7 @@ def bench_tpu(world) -> tuple[float, float]:
     from conan_slam_tpu.config import SlamConfig
     from conan_slam_tpu.filters.ekf import init_state_with_map
     from conan_slam_tpu.runner import metrics
-    from conan_slam_tpu.runner.loop import run_ekf_slam
+    from conan_slam_tpu.runner.loop import run_ekf_slam_precomputed
 
     # Persistent compile cache: the first remote TPU compile of the scan is
     # minutes; subsequent bench processes reuse it.
@@ -69,7 +69,9 @@ def bench_tpu(world) -> tuple[float, float]:
 
     log(f"devices: {jax.devices()}")
     t0 = time.time()
-    carry, outs = run_ekf_slam(world, cfg, key, n_steps=BENCH_STEPS, init_state=state0)
+    state, outs = run_ekf_slam_precomputed(
+        world, cfg, key, n_steps=BENCH_STEPS, init_state=state0
+    )
     np.asarray(outs.x_est)
     log(f"compile+first run: {time.time() - t0:.1f}s")
 
@@ -80,17 +82,17 @@ def bench_tpu(world) -> tuple[float, float]:
     for i in range(3):
         key = jax.random.PRNGKey(1000 + i)
         t0 = time.perf_counter()
-        carry, outs = run_ekf_slam(
+        state, outs = run_ekf_slam_precomputed(
             world, cfg, key, n_steps=BENCH_STEPS, init_state=state0
         )
         np.asarray(outs.x_est)
-        np.asarray(carry.state.x)
+        np.asarray(state.x)
         times.append(time.perf_counter() - t0)
     best = min(times)
     ate = float(metrics.ate_rmse(outs.x_true, outs.x_est, ~outs.done))
     log(f"tpu: {BENCH_STEPS} steps in {best:.3f}s "
         f"({BENCH_STEPS / best:,.0f} steps/s), ATE={ate:.3f} m, "
-        f"map={int(carry.state.n_active)}")
+        f"map={int(state.n_active)}")
     return BENCH_STEPS / best, ate
 
 

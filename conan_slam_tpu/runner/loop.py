@@ -139,6 +139,126 @@ def ekf_sim_step(carry: EKFSimCarry, _, *, cfg: SlamConfig, world: World, noise:
     return EKFSimCarry(steer=st, x_true=x_true, state=state, step_in_frame=step_in_frame, key=key), out
 
 
+def ekf_precomp_frame_step(state, frame, *, cfg: SlamConfig, world: World, noise: NoiseCovs):
+    """Frame step against a host-precomputed truth rollout.
+
+    All sequential scalar simulation work (steering, truth motion) and all
+    RNG happen outside the device loop (sim.precompute + bulk noise
+    pregeneration), leaving only filter compute per frame — on TPU the
+    scalar chain's many tiny kernels otherwise dominate wall time.
+    """
+    x_true_f, swa_f, active_f, done_f, ctrl_noise_f, obs_noise_f = frame
+
+    if cfg.switch_control_noise:
+        vns = cfg.velocity + ctrl_noise_f[:, 0] * cfg.sigma_v
+        swans = swa_f + ctrl_noise_f[:, 1] * cfg.sigma_swa
+    else:
+        vns = jnp.full_like(swa_f, cfg.velocity)
+        swans = swa_f
+
+    state, pose_trace, vmat, bmat = ekf_mod.frame_factors(
+        state, vns, swans, x_true_f[:, 2], active_f,
+        noise.qe, cfg.wheel_base, cfg.dt_controls, cfg.sigma_heading,
+        cfg.switch_heading_known,
+    )
+
+    nz = min(world.num_landmarks, cfg.max_observations())
+    x_true_end = x_true_f[-1]
+    obs_full = sensor_sim.get_observations(x_true_end, world.landmarks, cfg.max_range)
+    if cfg.switch_sensor_noise:
+        scale = jnp.asarray([cfg.sigma_r, cfg.sigma_b], obs_full.z.dtype)
+        obs_full = obs_full._replace(z=obs_full.z + obs_noise_f * scale)
+    obs = compact(obs_full, nz)
+
+    live = jnp.logical_not(done_f[-1])
+    assoc = ekf_mod.associate_known(state, obs)
+    state, frame_nis = ekf_mod.fused_frame_update(
+        state, vmat, bmat, obs, assoc.slots,
+        jnp.logical_and(assoc.known_mask, live), noise.re,
+        return_nis=True,
+    )
+    new_mask = jnp.logical_and(assoc.new_mask, live)
+    state = jax.lax.cond(
+        jnp.any(new_mask),
+        lambda s: ekf_mod.augment(s, obs, new_mask, noise.re),
+        lambda s: s,
+        state,
+    )
+
+    interval = x_true_f.shape[0]
+    outs = SimOutputs(
+        x_true=x_true_f,
+        x_est=pose_trace.at[-1].set(state.x[:3]),
+        done=done_f,
+        n_active=jnp.broadcast_to(state.n_active, (interval,)),
+        consistency=jnp.zeros((interval,), jnp.float32).at[-1].set(frame_nis),
+    )
+    return state, outs
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps"), donate_argnums=())
+def _run_precomp(world, cfg, key, truth_dev, n_steps, init_state):
+    interval = cfg.observe_interval
+    n_frames = n_steps // interval
+    x_true, swa, active, done = truth_dev
+
+    k_ctrl, k_obs = jax.random.split(key)
+    ctrl_noise = jax.random.normal(k_ctrl, (n_frames, interval, 2), jnp.float32)
+    obs_noise = jax.random.normal(
+        k_obs, (n_frames, world.num_landmarks, 2), jnp.float32
+    )
+    frames = (
+        x_true.reshape(n_frames, interval, 3),
+        swa.reshape(n_frames, interval),
+        active.reshape(n_frames, interval),
+        done.reshape(n_frames, interval),
+        ctrl_noise,
+        obs_noise,
+    )
+    noise = make_noise(cfg, "ekf")
+    step = functools.partial(ekf_precomp_frame_step, cfg=cfg, world=world, noise=noise)
+    with jax.default_matmul_precision("highest"):
+        state, outs = jax.lax.scan(step, init_state, frames)
+    outs = jax.tree_util.tree_map(
+        lambda x: x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:]), outs
+    )
+    return state, outs
+
+
+def run_ekf_slam_precomputed(
+    world: World,
+    cfg: SlamConfig,
+    key: jax.Array,
+    n_steps: int = 25_000,
+    init_state: ekf_mod.EKFState | None = None,
+):
+    """run_ekf_slam with the truth rollout precomputed on the host.
+
+    Identical workload semantics (same truth trajectory as the on-device
+    chain to float32 precision, same noise distributions); the device scan
+    contains only filter compute.  Returns (final EKFState, SimOutputs).
+    """
+    import numpy as np
+
+    from conan_slam_tpu.sim.precompute import rollout_truth
+
+    interval = cfg.observe_interval
+    n_steps = ((n_steps + interval - 1) // interval) * interval
+    roll = rollout_truth(np.asarray(world.waypoints), cfg, n_steps)
+    truth_dev = (
+        jnp.asarray(roll.x_true),
+        jnp.asarray(roll.swa),
+        jnp.asarray(roll.active),
+        jnp.asarray(roll.done),
+    )
+    state0 = (
+        init_state
+        if init_state is not None
+        else ekf_mod.init_state(cfg.max_landmarks, world.num_landmarks)
+    )
+    return _run_precomp(world, cfg, key, truth_dev, n_steps, state0)
+
+
 class PFSimCarry(NamedTuple):
     steer: SteerState
     x_true: jax.Array
