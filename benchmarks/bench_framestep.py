@@ -1,0 +1,198 @@
+"""Frame-step time breakdown at bench scale (D = 2051).
+
+Runs variants of the fused EKF observation-frame step as chained scans and
+reports per-frame time, isolating:
+
+  full       - the real fused frame step (bench.py workload body)
+  factors    - frame_factors + rank update only (no measurement chain)
+  ppass      - one fused P rank-update/downdate pass only
+  smallchain - the measurement small chain (operator build, P H^T,
+               cholesky + triangular inverse, gain matvecs), P held fixed
+  chol       - cholesky + triangular inverse of the (2*NZ, 2*NZ) S alone
+
+Run on TPU: python benchmarks/bench_framestep.py [modes...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+N_LANDMARKS = 1024
+BENCH_STEPS = 2400
+SEED = 42
+SIGMA0 = 1.0
+
+
+def main(modes):
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_bench_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from bench import build_world
+
+    from conan_slam_tpu.config import SlamConfig
+    from conan_slam_tpu.core.linalg import PRECISION, safe_cholesky, sym
+    from conan_slam_tpu.filters import ekf as ekf_mod
+    from conan_slam_tpu.filters.ekf.observe import build_batch_operator
+    from conan_slam_tpu.ops.pallas_update import rank_update_downdate
+    from conan_slam_tpu.runner.loop import make_noise, run_ekf_slam_precomputed
+    from conan_slam_tpu.sim import sensor_sim
+    from conan_slam_tpu.sim.precompute import rollout_truth
+    from conan_slam_tpu.filters.common import compact
+
+    print("devices:", jax.devices(), file=sys.stderr)
+    lm, wp, world = build_world()
+    cfg = SlamConfig(max_landmarks=N_LANDMARKS, max_obs=64)
+    noise = make_noise(cfg, "ekf")
+    state0 = ekf_mod.init_state_with_map(world.landmarks, sigma0=SIGMA0)
+    key = jax.random.PRNGKey(SEED)
+    interval = cfg.observe_interval
+    n_steps = ((BENCH_STEPS + interval - 1) // interval) * interval
+    n_frames = n_steps // interval
+    nz = min(world.num_landmarks, cfg.max_observations())
+
+    roll = rollout_truth(np.asarray(world.waypoints), cfg, n_steps)
+    k_ctrl, k_obs = jax.random.split(key)
+    ctrl_noise = jax.random.normal(k_ctrl, (n_frames, interval, 2), jnp.float32)
+    obs_noise = jax.random.normal(
+        k_obs, (n_frames, world.num_landmarks, 2), jnp.float32
+    )
+    frames = (
+        jnp.asarray(roll.x_true).reshape(n_frames, interval, 3),
+        jnp.asarray(roll.swa).reshape(n_frames, interval),
+        jnp.asarray(roll.active).reshape(n_frames, interval),
+        jnp.asarray(roll.done).reshape(n_frames, interval),
+        ctrl_noise,
+        obs_noise,
+    )
+
+    def frame_inputs(frame):
+        x_true_f, swa_f, active_f, done_f, ctrl_noise_f, obs_noise_f = frame
+        vns = cfg.velocity + ctrl_noise_f[:, 0] * cfg.sigma_v
+        swans = swa_f + ctrl_noise_f[:, 1] * cfg.sigma_swa
+        return x_true_f, vns, swans, active_f, done_f, obs_noise_f
+
+    def get_obs(x_true_end, obs_noise_f):
+        obs_full = sensor_sim.get_observations(x_true_end, world.landmarks, cfg.max_range)
+        scale = jnp.asarray([cfg.sigma_r, cfg.sigma_b], obs_full.z.dtype)
+        obs_full = obs_full._replace(z=obs_full.z + obs_noise_f * scale)
+        return compact(obs_full, nz)
+
+    def factors_step(state, frame):
+        x_true_f, vns, swans, active_f, done_f, _ = frame_inputs(frame)
+        state, pose_trace, vmat, bmat = ekf_mod.frame_factors(
+            state, vns, swans, x_true_f[:, 2], active_f,
+            noise.qe, cfg.wheel_base, cfg.dt_controls, cfg.sigma_heading,
+            cfg.switch_heading_known,
+        )
+        w1 = 1e-20 * vmat[:, :2]
+        p = rank_update_downdate(state.p, vmat, bmat, w1)
+        return state._replace(p=p), pose_trace[-1]
+
+    def ppass_step(carry, frame):
+        state, vmat, bmat, w1 = carry
+        p = rank_update_downdate(state.p, vmat, bmat, w1)
+        return (state._replace(p=p), vmat, bmat, w1), p[0, 0]
+
+    def smallchain_step(state, frame):
+        x_true_f, vns, swans, active_f, done_f, obs_noise_f = frame_inputs(frame)
+        obs = get_obs(x_true_f[-1], obs_noise_f)
+        assoc = ekf_mod.associate_known(state, obs)
+        mask = jnp.logical_and(assoc.known_mask, jnp.logical_not(done_f[-1]))
+        v, h, rr = build_batch_operator(state, obs, assoc.slots, mask, noise.re)
+        ht = h.T
+        pht = jnp.matmul(state.p, ht, precision=PRECISION)
+        s = sym(jnp.matmul(h, pht, precision=PRECISION) + rr)
+        chol = safe_cholesky(s)
+        eye_m = jnp.eye(s.shape[0], dtype=s.dtype)
+        import jax.scipy.linalg as jsl
+        linv = jsl.solve_triangular(chol, eye_m, lower=True)
+        w1t = jnp.matmul(linv, pht.T, precision=PRECISION)
+        lv = linv @ v
+        x = state.x + 1e-20 * (w1t.T @ lv)
+        return state._replace(x=x), x[0]
+
+    def chol_step(carry, _):
+        s, acc = carry
+        import jax.scipy.linalg as jsl
+        chol = safe_cholesky(s)
+        eye_m = jnp.eye(s.shape[0], dtype=s.dtype)
+        linv = jsl.solve_triangular(chol, eye_m, lower=True)
+        acc = acc + linv[0, 0]
+        s = s + 1e-12 * acc * jnp.eye(s.shape[0], dtype=s.dtype)
+        return (s, acc), acc
+
+    def run_scan(step, carry0, xs):
+        @jax.jit
+        def run(carry0, xs):
+            with jax.default_matmul_precision("highest"):
+                return jax.lax.scan(step, carry0, xs)
+        return run
+
+    def timeit(name, fn, *args):
+        out = fn(*args)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])  # warm + fence
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            np.asarray(jax.tree_util.tree_leaves(out)[0])
+            leaf = jax.tree_util.tree_leaves(out)
+            np.asarray(leaf[-1] if hasattr(leaf[-1], "shape") else leaf[0])
+            ts.append(time.perf_counter() - t0)
+        per_frame = min(ts) / n_frames
+        print(f"{name:11s}: {per_frame * 1e6:9.1f} us/frame "
+              f"({min(ts):.3f}s / {n_frames} frames)", flush=True)
+
+    rng = np.random.default_rng(0)
+    d = state0.x.shape[0]
+
+    if "full" in modes:
+        def full(key):
+            state, outs = run_ekf_slam_precomputed(
+                world, cfg, key, n_steps=BENCH_STEPS, init_state=state0
+            )
+            return outs.x_est
+        timeit("full", full, key)
+
+    if "factors" in modes:
+        timeit("factors", run_scan(factors_step, state0, frames), state0, frames)
+
+    if "ppass" in modes:
+        r = 20
+        vmat = jnp.asarray(rng.normal(size=(d, r)).astype(np.float32) * 1e-4)
+        bmat = jnp.eye(r, dtype=jnp.float32)
+        w1 = jnp.asarray(rng.normal(size=(d, 2 * nz)).astype(np.float32) * 1e-4)
+        dummy = jnp.zeros((n_frames,), jnp.float32)
+        timeit("ppass", run_scan(ppass_step, (state0, vmat, bmat, w1), dummy),
+               (state0, vmat, bmat, w1), dummy)
+
+    if "smallchain" in modes:
+        timeit("smallchain", run_scan(smallchain_step, state0, frames), state0, frames)
+
+    if "chol" in modes:
+        m = 2 * nz
+        a = rng.normal(size=(m, m)).astype(np.float32)
+        s0 = jnp.asarray(a @ a.T + m * np.eye(m, dtype=np.float32))
+        acc0 = jnp.float32(0.0)
+
+        @jax.jit
+        def run_chol(s0, acc0):
+            return jax.lax.scan(chol_step, (s0, acc0), None, length=n_frames)
+        timeit("chol", run_chol, s0, acc0)
+
+
+if __name__ == "__main__":
+    modes = sys.argv[1:] or ["full", "factors", "ppass", "smallchain", "chol"]
+    main(modes)

@@ -46,13 +46,19 @@ def associate_known(state: EKFState, obs: CompactObs) -> AssociationResult:
     return AssociationResult(known_mask=known, slots=jnp.maximum(slots, 0), new_mask=new)
 
 
-def _innovation_stats(state: EKFState, r_cov):
+def _innovation_stats(state: EKFState, r_cov, vmat=None, bmat=None):
     """Per-active-slot predicted measurement and innovation covariance.
 
     S_j = [Hv Hf] [[Pvv, Pvj], [Pjv, Pjj]] [Hv Hf]^T + R, assembled from the
     pose block, the pose-feature strip and the (K, 2, 2) diagonal feature
     blocks of P — no dense (2, D) rows are materialised (cf. the reference's
     full H P H^T per pair, EKF.cpp:140).
+
+    With ``vmat``/``bmat`` the stats are computed against the *virtual*
+    covariance P' = P + V B V^T (the pending frame correction from
+    filters.ekf.fastframe.frame_factors) without materialising P': only the
+    pose block, pose-feature strip and per-slot diagonal blocks of V B V^T
+    are formed — O(D r) work instead of an O(D^2) rewrite of P.
     """
     k = state.capacity
     zp, hv, hf = sensor.observe(state.pose, state.features)  # (K,2) (K,2,3) (K,2,2)
@@ -61,6 +67,19 @@ def _innovation_stats(state: EKFState, r_cov):
     pmm = state.p[3:, 3:].reshape(k, 2, k, 2)
     idx = jnp.arange(k)
     pjj = pmm[idx, :, idx, :]                                       # (K, 2, 2)
+
+    if vmat is not None:
+        v3 = vmat[:3, :]                                            # (3, r)
+        vm = vmat[3:, :].reshape(k, 2, -1)                          # (K, 2, r)
+        v3b = jnp.matmul(v3, bmat, precision=PRECISION)             # (3, r)
+        pvv = pvv + jnp.matmul(v3b, v3.T, precision=PRECISION)
+        # Pose-feature strips: (3, r) @ (r, 2) per slot.
+        pvm = pvm + jnp.einsum(
+            "ir,kjr->kij", v3b, vm, precision=PRECISION
+        )
+        # Diagonal feature blocks: Vm_k B Vm_k^T (tiny; broadcast algebra).
+        vmb = jnp.einsum("kir,rs->kis", vm, bmat, precision=PRECISION)
+        pjj = pjj + jnp.einsum("kir,kjr->kij", vmb, vm, precision=PRECISION)
 
     # Tiny-block algebra via broadcast ops (core.linalg.bmm_small): batched
     # 2x2/2x3 dot_general pads to MXU tiles on TPU.
@@ -77,7 +96,8 @@ def _innovation_stats(state: EKFState, r_cov):
 
 
 def associate_gated(
-    state: EKFState, obs: CompactObs, r_cov, gate_reject, gate_augment
+    state: EKFState, obs: CompactObs, r_cov, gate_reject, gate_augment,
+    vmat=None, bmat=None,
 ) -> AssociationResult:
     """Gated nearest-neighbour association (reference EKF.cpp:263-296).
 
@@ -86,8 +106,12 @@ def associate_gated(
     Accept the nd-argmin among slots passing ``nis < gate_reject``
     (EKF.cpp:275-279); measurements whose best NIS exceeds ``gate_augment``
     found new features (EKF.cpp:292-295).
+
+    ``vmat``/``bmat`` gate against the virtual covariance P + V B V^T
+    (see ``_innovation_stats``) so the fastframe fused path can associate
+    without materialising the frame's predict+heading covariance effect.
     """
-    zp, s = _innovation_stats(state, r_cov)                   # (K,2), (K,2,2)
+    zp, s = _innovation_stats(state, r_cov, vmat, bmat)       # (K,2), (K,2,2)
     sinv = inv2(s)
     logdet = jnp.log(jnp.maximum(det2(s), 1e-30))
 

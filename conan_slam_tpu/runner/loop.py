@@ -171,7 +171,12 @@ def ekf_precomp_frame_step(state, frame, *, cfg: SlamConfig, world: World, noise
     obs = compact(obs_full, nz)
 
     live = jnp.logical_not(done_f[-1])
-    assoc = ekf_mod.associate_known(state, obs)
+    if cfg.switch_association_known:
+        assoc = ekf_mod.associate_known(state, obs)
+    else:
+        assoc = ekf_mod.associate_gated(
+            state, obs, noise.re, cfg.gate_reject, cfg.gate_augment, vmat, bmat
+        )
     state, frame_nis = ekf_mod.fused_frame_update(
         state, vmat, bmat, obs, assoc.slots,
         jnp.logical_and(assoc.known_mask, live), noise.re,
@@ -344,12 +349,7 @@ def ekf_frame_step(carry: EKFSimCarry, _, *, cfg: SlamConfig, world: World, nois
     sub_outs = []
     steer_state, x_true, state = carry.steer, carry.x_true, carry.state
 
-    fused = (
-        cfg.fast_frame
-        and cfg.fused_obs
-        and cfg.switch_association_known
-        and cfg.switch_batch_update
-    )
+    fused = cfg.fast_frame and cfg.fused_obs and cfg.switch_batch_update
     if cfg.fast_frame:
         # Rank-compounded frame update (filters.ekf.fastframe): advance the
         # cheap O(1) truth/steering chain per sub-step, then apply all
@@ -420,7 +420,16 @@ def ekf_frame_step(carry: EKFSimCarry, _, *, cfg: SlamConfig, world: World, nois
         )
         obs = compact(obs_full, nz)
         live = jnp.logical_not(steer_state.done)
-        assoc = ekf_mod.associate_known(state, obs)
+        if cfg.switch_association_known:
+            assoc = ekf_mod.associate_known(state, obs)
+        else:
+            # Gate against the virtual covariance P + V B V^T (the pending
+            # frame factors) — same post-predict gating semantics as the
+            # materialised path without rewriting P.
+            assoc = ekf_mod.associate_gated(
+                state, obs, noise.re, cfg.gate_reject, cfg.gate_augment,
+                vmat, bmat,
+            )
         state, frame_nis = ekf_mod.fused_frame_update(
             state, vmat, bmat, obs, assoc.slots,
             jnp.logical_and(assoc.known_mask, live), noise.re,

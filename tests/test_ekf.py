@@ -256,6 +256,25 @@ def test_e2e_noise_free_tracks_truth():
     assert int(carry.state.n_active) > 0
 
 
+@pytest.mark.slow
+def test_e2e_gated_association_tracks_truth():
+    """BASELINE config 2's association mode: Mahalanobis-gated NN (unknown
+    correspondences) through the fused fast path.  Noise-free oracle: the
+    gated filter must still track truth and register the visible landmarks."""
+    cfg = SlamConfig(
+        switch_control_noise=False,
+        switch_sensor_noise=False,
+        switch_inflate_noise=False,
+        switch_association_known=False,
+    )
+    world = default_world()
+    carry, outs = run_ekf_slam(world, cfg, jax.random.PRNGKey(0), n_steps=3000)
+    valid = ~outs.done
+    ate = metrics.ate_rmse(outs.x_true, outs.x_est, valid)
+    assert float(ate) < 0.1, f"gated noise-free ATE too high: {float(ate)}"
+    assert int(carry.state.n_active) > 0
+
+
 def test_init_state_with_map_tracks_immediately():
     """Steady-state start: all features registered; the filter should track
     with small error from step one (the full-map benchmark configuration)."""

@@ -162,6 +162,46 @@ def test_fastframe_respects_done_mask():
     np.testing.assert_allclose(np.asarray(fast0.p), np.asarray(state.p), atol=1e-5)
 
 
+def test_associate_gated_virtual_matches_materialized():
+    """Gating against the virtual covariance P + V B V^T (fastframe factors)
+    must reproduce gating against the materialised frame covariance."""
+    from conan_slam_tpu.filters.ekf.fastframe import frame_factors
+    from conan_slam_tpu.filters.common import CompactObs
+    from conan_slam_tpu.models import sensor
+
+    rng = np.random.default_rng(33)
+    state = _active_state(rng, cap=10, n_act=7)
+    s_steps = 6
+    q = jnp.asarray(np.diag([0.18, 0.0006]).astype(np.float32))
+    vns = jnp.asarray(83.33 + rng.normal(size=s_steps).astype(np.float32) * 0.3)
+    swans = jnp.asarray(0.1 + rng.normal(size=s_steps).astype(np.float32) * 0.02)
+    phis = jnp.asarray(0.4 + np.cumsum(rng.normal(size=s_steps)).astype(np.float32) * 0.002)
+    active = jnp.ones((s_steps,), bool)
+    args = (vns, swans, phis, active, q, 73.0, 0.01, 0.02, True)
+    r = jnp.asarray(np.diag([0.08, 0.0024]).astype(np.float32))
+
+    mat = frame_predict_heading(state, *args)
+    st_f, _, vmat, bmat = frame_factors(state, *args)
+
+    # Measurements: three near known features, one far (new), one masked.
+    feats = np.asarray(mat.features[:3])
+    zp, _, _ = sensor.observe(mat.pose, jnp.asarray(feats))
+    z = jnp.concatenate([
+        jnp.asarray(np.asarray(zp) + rng.normal(size=(3, 2)).astype(np.float32) * [0.2, 0.005]),
+        jnp.asarray([[900.0, 1.2], [100.0, -0.5]]),
+    ])
+    obs = CompactObs(z=z, ids=jnp.asarray([0, 1, 2, 50, 51], jnp.int32),
+                     mask=jnp.asarray([True, True, True, True, False]))
+
+    ga = ekf.associate_gated(mat, obs, r, 50.0, 1000.0)
+    gb = ekf.associate_gated(st_f, obs, r, 50.0, 1000.0, vmat, bmat)
+    np.testing.assert_array_equal(np.asarray(ga.known_mask), np.asarray(gb.known_mask))
+    np.testing.assert_array_equal(np.asarray(ga.new_mask), np.asarray(gb.new_mask))
+    known = np.asarray(ga.known_mask)
+    np.testing.assert_array_equal(np.asarray(ga.slots)[known], np.asarray(gb.slots)[known])
+    assert known[:3].all() and not known[3:].any()
+
+
 def test_fused_frame_update_matches_materialized_path():
     """frame_factors + fused_frame_update == frame_predict_heading +
     batch_update (the same frame, two data flows)."""
