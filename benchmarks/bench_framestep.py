@@ -123,6 +123,20 @@ def main(modes):
         x = state.x + 1e-20 * (w1t.T @ lv)
         return state._replace(x=x), x[0]
 
+    def noop_step(carry, _):
+        s, acc = carry
+        acc = acc + s[0, 0] * 1e-12
+        s = s * (1.0 + 1e-12 * acc)
+        return (s, acc), acc
+
+    def sweep_step(carry, _):
+        from conan_slam_tpu.ops.spd_inverse import spd_inverse
+        s, acc = carry
+        si = spd_inverse(s)
+        acc = acc + si[0, 0]
+        s = s + 1e-12 * acc * jnp.eye(s.shape[0], dtype=s.dtype)
+        return (s, acc), acc
+
     def chol_step(carry, _):
         s, acc = carry
         import jax.scipy.linalg as jsl
@@ -181,16 +195,29 @@ def main(modes):
     if "smallchain" in modes:
         timeit("smallchain", run_scan(smallchain_step, state0, frames), state0, frames)
 
-    if "chol" in modes:
+    if "chol" in modes or "sweep" in modes or "noop" in modes:
         m = 2 * nz
         a = rng.normal(size=(m, m)).astype(np.float32)
         s0 = jnp.asarray(a @ a.T + m * np.eye(m, dtype=np.float32))
         acc0 = jnp.float32(0.0)
 
-        @jax.jit
-        def run_chol(s0, acc0):
-            return jax.lax.scan(chol_step, (s0, acc0), None, length=n_frames)
-        timeit("chol", run_chol, s0, acc0)
+        if "chol" in modes:
+            @jax.jit
+            def run_chol(s0, acc0):
+                return jax.lax.scan(chol_step, (s0, acc0), None, length=n_frames)
+            timeit("chol", run_chol, s0, acc0)
+
+        if "sweep" in modes:
+            @jax.jit
+            def run_sweep(s0, acc0):
+                return jax.lax.scan(sweep_step, (s0, acc0), None, length=n_frames)
+            timeit("sweep", run_sweep, s0, acc0)
+
+        if "noop" in modes:
+            @jax.jit
+            def run_noop(s0, acc0):
+                return jax.lax.scan(noop_step, (s0, acc0), None, length=n_frames)
+            timeit("noop", run_noop, s0, acc0)
 
 
 if __name__ == "__main__":

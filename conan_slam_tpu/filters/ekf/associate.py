@@ -63,14 +63,14 @@ def _innovation_stats(state: EKFState, r_cov, vmat=None, bmat=None):
     k = state.capacity
     zp, hv, hf = sensor.observe(state.pose, state.features)  # (K,2) (K,2,3) (K,2,2)
     pvv = state.p[:3, :3]
-    pvm = state.p[:3, 3:].reshape(3, k, 2).transpose(1, 0, 2)       # (K, 3, 2)
-    pmm = state.p[3:, 3:].reshape(k, 2, k, 2)
+    pvm = state.p[:3, 3 : 3 + 2 * k].reshape(3, k, 2).transpose(1, 0, 2)  # (K, 3, 2)
+    pmm = state.p[3 : 3 + 2 * k, 3 : 3 + 2 * k].reshape(k, 2, k, 2)
     idx = jnp.arange(k)
     pjj = pmm[idx, :, idx, :]                                       # (K, 2, 2)
 
     if vmat is not None:
         v3 = vmat[:3, :]                                            # (3, r)
-        vm = vmat[3:, :].reshape(k, 2, -1)                          # (K, 2, r)
+        vm = vmat[3 : 3 + 2 * k, :].reshape(k, 2, -1)               # (K, 2, r)
         v3b = jnp.matmul(v3, bmat, precision=PRECISION)             # (3, r)
         pvv = pvv + jnp.matmul(v3b, v3.T, precision=PRECISION)
         # Pose-feature strips: (3, r) @ (r, 2) per slot.

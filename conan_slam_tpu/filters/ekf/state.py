@@ -17,10 +17,17 @@ import jax.numpy as jnp
 
 
 class EKFState(NamedTuple):
-    x: jax.Array         # (3 + 2K,) joint mean: pose (x, y, phi) then K slots
-    p: jax.Array         # (3 + 2K, 3 + 2K) joint covariance
+    x: jax.Array         # (D,) joint mean: pose (x, y, phi) then map slots
+    p: jax.Array         # (D, D) joint covariance
     n_active: jax.Array  # () int32 number of active map slots
     table: jax.Array     # (num_landmark_ids,) int32 id -> slot, -1 unknown
+
+    # D is 3 + 2K for the requested capacity K, optionally rounded up to a
+    # TPU tile multiple (``init_state(pad_multiple=...)``): HBM-aligned
+    # covariance tiles and MXU-aligned matmul shapes.  Padding manifests
+    # only as extra (never-activated unless discovered) map slots plus at
+    # most one dead trailing row/column of zeros — every kernel is
+    # mask/width-aware, so semantics are unchanged.
 
     @property
     def capacity(self) -> int:
@@ -33,7 +40,8 @@ class EKFState(NamedTuple):
     @property
     def features(self) -> jax.Array:
         """Map slot positions as (K, 2)."""
-        return self.x[3:].reshape(self.capacity, 2)
+        k = self.capacity
+        return self.x[3 : 3 + 2 * k].reshape(k, 2)
 
     @property
     def active_mask(self) -> jax.Array:
@@ -41,9 +49,23 @@ class EKFState(NamedTuple):
         return jnp.arange(self.capacity) < self.n_active
 
 
-def init_state(capacity: int, num_landmark_ids: int, dtype=jnp.float32) -> EKFState:
-    """Zero pose, zero covariance, empty map (reference test/main.cpp:106-108)."""
+def _padded_dim(capacity: int, pad_multiple: int) -> int:
     d = 3 + 2 * capacity
+    if pad_multiple and d > pad_multiple:
+        d = ((d + pad_multiple - 1) // pad_multiple) * pad_multiple
+    return d
+
+
+def init_state(
+    capacity: int, num_landmark_ids: int, dtype=jnp.float32,
+    pad_multiple: int = 256,
+) -> EKFState:
+    """Zero pose, zero covariance, empty map (reference test/main.cpp:106-108).
+
+    ``pad_multiple`` rounds the state dimension up to a TPU tile multiple for
+    large maps (small worlds stay compact); 0 disables padding.
+    """
+    d = _padded_dim(capacity, pad_multiple)
     return EKFState(
         x=jnp.zeros((d,), dtype=dtype),
         p=jnp.zeros((d, d), dtype=dtype),
@@ -53,7 +75,8 @@ def init_state(capacity: int, num_landmark_ids: int, dtype=jnp.float32) -> EKFSt
 
 
 def init_state_with_map(
-    landmarks, capacity: int | None = None, sigma0: float = 1.0, dtype=jnp.float32
+    landmarks, capacity: int | None = None, sigma0: float = 1.0,
+    dtype=jnp.float32, pad_multiple: int = 256,
 ) -> EKFState:
     """Steady-state start: the first ``capacity`` landmarks pre-registered.
 
@@ -66,10 +89,10 @@ def init_state_with_map(
     n_ids = landmarks.shape[0]
     k = capacity if capacity is not None else n_ids
     n_map = min(n_ids, k)
-    state = init_state(k, n_ids, dtype)
+    state = init_state(k, n_ids, dtype, pad_multiple=pad_multiple)
     x = state.x.at[3 : 3 + 2 * n_map].set(landmarks[:n_map].reshape(-1))
     diag = (
-        jnp.zeros((3 + 2 * k,), dtype)
+        jnp.zeros((state.x.shape[0],), dtype)
         .at[3 : 3 + 2 * n_map]
         .set(sigma0**2)
     )

@@ -84,11 +84,19 @@ def fused_frame_update(
     Masked measurements contribute nothing (zero H rows / identity R),
     so this runs unconditionally — a frame with no associated measurement
     degenerates to applying the factored correction alone.
-    """
-    import jax.scipy.linalg as jsl
 
-    from conan_slam_tpu.core.linalg import PRECISION, safe_cholesky, sym
-    from conan_slam_tpu.ops.pallas_update import rank_update_downdate
+    The small (2NZ, 2NZ) innovation covariance is inverted with ONE Pallas
+    sweep kernel (ops.spd_inverse) instead of a cholesky + triangular-solve
+    chain (the serialized device loops dominate at this size), and the
+    measurement downdate folds into the factored rank update as a -S^-1
+    middle block — P is read and written exactly once for the whole frame.
+    """
+    from conan_slam_tpu.core.linalg import PRECISION, sym
+    from conan_slam_tpu.ops.pallas_update import (
+        rank_update_downdate,
+        rank_update_downdate_reference,
+    )
+    from conan_slam_tpu.ops.spd_inverse import spd_inverse
 
     v, h, rr = build_batch_operator(state, obs, slots, mask, r_cov)
     ht = h.T                                                     # (D, 2NZ)
@@ -99,26 +107,24 @@ def fused_frame_update(
         precision=PRECISION,
     )
     s = sym(jnp.matmul(h, pht, precision=PRECISION) + rr)
-    chol = safe_cholesky(s)
-    # Invert the small (2NZ, 2NZ) factor once, then hit the D-wide gain with
-    # a dense MXU matmul — a triangular solve with a D-wide RHS serialises
-    # on TPU.
-    eye_m = jnp.eye(s.shape[0], dtype=s.dtype)
-    linv = jsl.solve_triangular(chol, eye_m, lower=True)         # L^-1
-    w1t = jnp.matmul(linv, pht.T, precision=PRECISION)           # (2NZ, D)
-    lv = linv @ v
-    x = state.x + w1t.T @ lv
+    si = spd_inverse(s)                                          # (2NZ, 2NZ)
+    siv = si @ v
+    x = state.x + pht @ siv
     x = x.at[2].set(wrap_angle(x[2]))
-    if use_pallas:
-        p = rank_update_downdate(state.p, vmat, bmat, w1t.T)
-    else:
-        from conan_slam_tpu.ops.pallas_update import rank_update_downdate_reference
 
-        p = rank_update_downdate_reference(state.p, vmat, bmat, w1t.T)
+    # P <- P + [V PHT] [[B, 0], [0, -S^-1]] [V PHT]^T in one fused pass.
+    nb = bmat.shape[0]
+    m = s.shape[0]
+    vbig = jnp.concatenate([vmat, pht], axis=1)                  # (D, nb+2NZ)
+    bbig = jnp.zeros((nb + m, nb + m), dtype=bmat.dtype)
+    bbig = bbig.at[:nb, :nb].set(bmat)
+    bbig = bbig.at[nb:, nb:].set(-si)
+    apply = rank_update_downdate if use_pallas else rank_update_downdate_reference
+    p = apply(state.p, vbig, bbig)
     new_state = state._replace(x=x, p=p)
     if return_nis:
-        # ||L^-1 v||^2 = v^T S^-1 v: the stacked NIS, normalised per
-        # associated measurement (a chi^2_2 consistency statistic).
-        n_meas = jnp.maximum(jnp.sum(mask.astype(lv.dtype)), 1.0)
-        return new_state, jnp.sum(lv * lv) / n_meas
+        # v^T S^-1 v: the stacked NIS, normalised per associated measurement
+        # (a chi^2_2 consistency statistic).
+        n_meas = jnp.maximum(jnp.sum(mask.astype(v.dtype)), 1.0)
+        return new_state, jnp.dot(v, siv) / n_meas
     return new_state

@@ -38,24 +38,34 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def rank_update_downdate_reference(p, v, b, w1):
-    """jnp reference: P + V B V^T - W1 W1^T."""
+def rank_update_downdate_reference(p, v, b, w1=None):
+    """jnp reference: P + V B V^T - W1 W1^T (W1 optional)."""
     vb = jnp.matmul(v, b, precision=PRECISION)
-    return (
-        p
-        + jnp.matmul(vb, v.T, precision=PRECISION)
-        - jnp.matmul(w1, w1.T, precision=PRECISION)
-    )
+    out = p + jnp.matmul(vb, v.T, precision=PRECISION)
+    if w1 is not None:
+        out = out - jnp.matmul(w1, w1.T, precision=PRECISION)
+    return out
 
 
-def rank_update_downdate(p, v, b, w1, *, interpret: bool = False):
-    """Fused P + V B V^T - W1 W1^T on TPU via Pallas.
+def rank_update_downdate(p, v, b, w1=None, *, interpret: bool = False):
+    """Fused P + V B V^T [- W1 W1^T] on TPU via Pallas.
 
     Args:
-      p: (D, D) covariance (D must be a multiple of 128; callers pad).
+      p: (D, D) covariance.
       v: (D, r) rank-update factors.
-      b: (r, r) small symmetric middle matrix.
-      w1: (D, m) whitened Kalman gain strip (downdate factors).
+      b: (r, r) small symmetric middle matrix (may be indefinite — the
+         measurement downdate can be folded in as a -S^-1 diagonal block).
+      w1: optional (D, m) whitened Kalman gain strip (downdate factors);
+          folded into the factor strip as [V W1] diag(B, -I) [V W1]^T.
+
+    Two schedules:
+      * D a multiple of 128 (padded states, filters.ekf.state.init_state):
+        a 1-D grid over row panels — each (tr, D) panel of P is read once,
+        hit with one (tr, rm) x (rm, D) MXU matmul against the resident
+        transposed factor strip, and written once.  HBM traffic =
+        read P + write P + one read of the strips (speed of light).
+      * otherwise: 2-D (t, t) tiling with cdiv boundary tiles (factor strips
+        re-read per tile row/column).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -66,48 +76,78 @@ def rank_update_downdate(p, v, b, w1, *, interpret: bool = False):
         return rank_update_downdate_reference(p, v, b, w1)
 
     d = p.shape[0]
+    vb = jnp.matmul(v, b, precision=PRECISION)              # (D, r)
+    if w1 is not None:
+        vb = jnp.concatenate([vb, -w1], axis=1)
+        v = jnp.concatenate([v, w1], axis=1)
+    rm = _round_up(v.shape[1], 8)
+    if rm != v.shape[1]:
+        pad = rm - v.shape[1]
+        v = jnp.pad(v, ((0, 0), (0, pad)))
+        vb = jnp.pad(vb, ((0, 0), (0, pad)))
+
+    cost = pl.CostEstimate(
+        flops=2 * d * d * rm,
+        bytes_accessed=2 * d * d * 4 + 2 * d * rm * 4,
+        transcendentals=0,
+    )
+
+    # --- row-panel schedule for tile-aligned D ---
+    if d % 128 == 0:
+        budget = 10 * 2**20
+        tr = 0
+        for cand in (512, 256, 128):
+            if d % cand:
+                continue
+            need = (4 * cand * d + cand * rm + rm * d) * 4  # 2x2 row buffers
+            if need <= budget:
+                tr = cand
+                break
+        if tr:
+            def row_kernel(p_ref, vb_ref, vt_ref, out_ref):
+                out_ref[:, :] = p_ref[:, :] + jnp.dot(
+                    vb_ref[:, :], vt_ref[:, :],
+                    preferred_element_type=jnp.float32,
+                )
+
+            return pl.pallas_call(
+                row_kernel,
+                out_shape=jax.ShapeDtypeStruct((d, d), p.dtype),
+                grid=(d // tr,),
+                in_specs=[
+                    pl.BlockSpec((tr, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((tr, rm), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((rm, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((tr, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                cost_estimate=cost,
+                interpret=interpret,
+            )(p, vb, v.T)
+
+    # --- 2-D tiling fallback ---
     t = _pick_tile(d)
     if t == 0:
-        # State dims are 3 + 2K (odd): partial boundary tiles are safe for
+        # State dims 3 + 2K are odd: partial boundary tiles are safe for
         # this kernel (garbage reads only land in out-of-range rows/columns,
         # which stores drop), so use a cdiv grid — provided the *factor*
         # minor dims are lane/sublane aligned, which we pad ourselves.
         t = 256
 
-    vb = jnp.matmul(v, b, precision=PRECISION)              # (D, r)
-    r = _round_up(v.shape[1], 8)
-    m = _round_up(w1.shape[1], 8)
-    if r != v.shape[1]:
-        pad = r - v.shape[1]
-        v = jnp.pad(v, ((0, 0), (0, pad)))
-        vb = jnp.pad(vb, ((0, 0), (0, pad)))
-    if m != w1.shape[1]:
-        w1 = jnp.pad(w1, ((0, 0), (0, m - w1.shape[1])))
-    grid = (pl.cdiv(d, t), pl.cdiv(d, t))
-
-    def kernel(p_ref, vb_ref, vt_ref, w1_ref, w1t_ref, out_ref):
-        out_ref[:, :] = (
-            p_ref[:, :]
-            + jnp.dot(vb_ref[:, :], vt_ref[:, :], preferred_element_type=jnp.float32)
-            - jnp.dot(w1_ref[:, :], w1t_ref[:, :], preferred_element_type=jnp.float32)
+    def kernel(p_ref, vb_ref, vt_ref, out_ref):
+        out_ref[:, :] = p_ref[:, :] + jnp.dot(
+            vb_ref[:, :], vt_ref[:, :], preferred_element_type=jnp.float32
         )
 
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((d, d), p.dtype),
-        grid=grid,
+        grid=(pl.cdiv(d, t), pl.cdiv(d, t)),
         in_specs=[
             pl.BlockSpec((t, t), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, r), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, t), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, m), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, t), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, rm), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rm, t), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((t, t), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * d * d * (r + m),
-            bytes_accessed=2 * d * d * 4 + 2 * d * (r + m) * 4,
-            transcendentals=0,
-        ),
+        cost_estimate=cost,
         interpret=interpret,
-    )(p, vb, v.T, w1, w1.T)
+    )(p, vb, v.T)

@@ -140,14 +140,16 @@ def ekf_sim_step(carry: EKFSimCarry, _, *, cfg: SlamConfig, world: World, noise:
 
 
 def ekf_precomp_frame_step(state, frame, *, cfg: SlamConfig, world: World, noise: NoiseCovs):
-    """Frame step against a host-precomputed truth rollout.
+    """Frame step against a host-precomputed truth + observation rollout.
 
-    All sequential scalar simulation work (steering, truth motion) and all
-    RNG happen outside the device loop (sim.precompute + bulk noise
-    pregeneration), leaving only filter compute per frame — on TPU the
-    scalar chain's many tiny kernels otherwise dominate wall time.
+    All sequential scalar simulation work (steering, truth motion, sensor
+    visibility/compaction) and all RNG happen outside the device loop
+    (sim.precompute + bulk noise pregeneration), leaving only filter compute
+    per frame — on TPU the sim chain's many tiny kernels otherwise dominate
+    wall time.
     """
-    x_true_f, swa_f, active_f, done_f, ctrl_noise_f, obs_noise_f = frame
+    (x_true_f, swa_f, active_f, done_f, ctrl_noise_f,
+     z_true_f, ids_f, zmask_f, obs_noise_f) = frame
 
     if cfg.switch_control_noise:
         vns = cfg.velocity + ctrl_noise_f[:, 0] * cfg.sigma_v
@@ -162,13 +164,15 @@ def ekf_precomp_frame_step(state, frame, *, cfg: SlamConfig, world: World, noise
         cfg.switch_heading_known,
     )
 
-    nz = min(world.num_landmarks, cfg.max_observations())
-    x_true_end = x_true_f[-1]
-    obs_full = sensor_sim.get_observations(x_true_end, world.landmarks, cfg.max_range)
+    z = z_true_f
     if cfg.switch_sensor_noise:
-        scale = jnp.asarray([cfg.sigma_r, cfg.sigma_b], obs_full.z.dtype)
-        obs_full = obs_full._replace(z=obs_full.z + obs_noise_f * scale)
-    obs = compact(obs_full, nz)
+        scale = jnp.asarray([cfg.sigma_r, cfg.sigma_b], z.dtype)
+        z = z + obs_noise_f * scale
+    from conan_slam_tpu.filters.common import CompactObs
+
+    obs = CompactObs(
+        z=jnp.where(zmask_f[:, None], z, 0.0), ids=ids_f, mask=zmask_f
+    )
 
     live = jnp.logical_not(done_f[-1])
     if cfg.switch_association_known:
@@ -202,22 +206,25 @@ def ekf_precomp_frame_step(state, frame, *, cfg: SlamConfig, world: World, noise
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_steps"), donate_argnums=())
-def _run_precomp(world, cfg, key, truth_dev, n_steps, init_state):
+def _run_precomp(world, cfg, key, truth_dev, obs_dev, n_steps, init_state):
     interval = cfg.observe_interval
     n_frames = n_steps // interval
     x_true, swa, active, done = truth_dev
+    z_true, ids, zmask = obs_dev
+    nz = z_true.shape[1]
 
     k_ctrl, k_obs = jax.random.split(key)
     ctrl_noise = jax.random.normal(k_ctrl, (n_frames, interval, 2), jnp.float32)
-    obs_noise = jax.random.normal(
-        k_obs, (n_frames, world.num_landmarks, 2), jnp.float32
-    )
+    obs_noise = jax.random.normal(k_obs, (n_frames, nz, 2), jnp.float32)
     frames = (
         x_true.reshape(n_frames, interval, 3),
         swa.reshape(n_frames, interval),
         active.reshape(n_frames, interval),
         done.reshape(n_frames, interval),
         ctrl_noise,
+        z_true,
+        ids,
+        zmask,
         obs_noise,
     )
     noise = make_noise(cfg, "ekf")
@@ -245,7 +252,7 @@ def run_ekf_slam_precomputed(
     """
     import numpy as np
 
-    from conan_slam_tpu.sim.precompute import rollout_truth
+    from conan_slam_tpu.sim.precompute import rollout_observations, rollout_truth
 
     interval = cfg.observe_interval
     n_steps = ((n_steps + interval - 1) // interval) * interval
@@ -256,12 +263,21 @@ def run_ekf_slam_precomputed(
         jnp.asarray(roll.active),
         jnp.asarray(roll.done),
     )
+    nz = min(world.num_landmarks, cfg.max_observations())
+    obs_roll = rollout_observations(
+        roll.x_true, np.asarray(world.landmarks), cfg.max_range, nz, interval
+    )
+    obs_dev = (
+        jnp.asarray(obs_roll.z_true),
+        jnp.asarray(obs_roll.ids),
+        jnp.asarray(obs_roll.mask),
+    )
     state0 = (
         init_state
         if init_state is not None
         else ekf_mod.init_state(cfg.max_landmarks, world.num_landmarks)
     )
-    return _run_precomp(world, cfg, key, truth_dev, n_steps, state0)
+    return _run_precomp(world, cfg, key, truth_dev, obs_dev, n_steps, state0)
 
 
 class PFSimCarry(NamedTuple):

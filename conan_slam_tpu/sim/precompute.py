@@ -97,3 +97,52 @@ def rollout_truth(waypoints: np.ndarray, cfg: SlamConfig, n_steps: int) -> Truth
         dones[t] = done
 
     return TruthRollout(x_true=xs, swa=swas, active=actives, done=dones)
+
+
+class ObsRollout(NamedTuple):
+    z_true: np.ndarray   # (n_frames, NZ, 2) noiseless (range, bearing)
+    ids: np.ndarray      # (n_frames, NZ) int32 landmark ids (-1 = empty slot)
+    mask: np.ndarray     # (n_frames, NZ) bool slot validity
+
+
+def rollout_observations(
+    x_true: np.ndarray, landmarks: np.ndarray, max_range: float,
+    nz: int, interval: int,
+) -> ObsRollout:
+    """Noiseless sensor returns at each frame end, precomputed on the host.
+
+    Mirrors sim.sensor_sim.get_observations + filters.common.compact in
+    float32 (semicircular FoV, reference slam.h:644-648; ascending-id slot
+    order): the device scan then consumes fixed-size (z, ids, mask) buffers
+    and adds measurement noise — no per-frame visibility/compaction kernels
+    on device.  Truth is deterministic, so this moves zero filter work.
+    """
+    lm = np.asarray(landmarks, np.float32)                # (L, 2)
+    poses = np.asarray(x_true, np.float32)[interval - 1 :: interval]  # (F, 3)
+    n_frames = poses.shape[0]
+
+    d = lm[None, :, :] - poses[:, None, :2]               # (F, L, 2)
+    dx, dy = d[..., 0], d[..., 1]
+    rng = np.sqrt(dx * dx + dy * dy, dtype=np.float32)
+    brg = (
+        np.arctan2(dy, dx).astype(np.float32)
+        - poses[:, None, 2]
+        + np.float32(np.pi)
+    ) % np.float32(2 * np.pi) - np.float32(np.pi)
+    in_box = np.logical_and(np.abs(dx) < max_range, np.abs(dy) < max_range)
+    ahead = dx * np.cos(poses[:, None, 2]) + dy * np.sin(poses[:, None, 2]) > 0.0
+    in_circle = dx * dx + dy * dy < np.float32(max_range) ** 2
+    visible = in_box & ahead & in_circle                  # (F, L)
+
+    z = np.zeros((n_frames, nz, 2), np.float32)
+    ids = np.full((n_frames, nz), -1, np.int32)
+    mask = np.zeros((n_frames, nz), bool)
+    for f in range(n_frames):
+        (vis_idx,) = np.nonzero(visible[f])
+        vis_idx = vis_idx[:nz]
+        k = vis_idx.shape[0]
+        ids[f, :k] = vis_idx
+        mask[f, :k] = True
+        z[f, :k, 0] = rng[f, vis_idx]
+        z[f, :k, 1] = brg[f, vis_idx]
+    return ObsRollout(z_true=z, ids=ids, mask=mask)

@@ -30,6 +30,62 @@ def test_rank_update_downdate_matches_reference():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-3)
 
 
+def test_rank_update_no_downdate_strip():
+    rng = np.random.default_rng(3)
+    d, r = 256, 24
+    p = rng.normal(size=(d, d)).astype(np.float32)
+    p = p @ p.T
+    v = rng.normal(size=(d, r)).astype(np.float32)
+    b = rng.normal(size=(r, r)).astype(np.float32)
+    b = 0.5 * (b + b.T)
+    out = rank_update_downdate(jnp.asarray(p), jnp.asarray(v), jnp.asarray(b),
+                               interpret=True)
+    ref = p + v @ b @ v.T
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-3)
+
+
+def test_spd_inverse_sweep_kernel():
+    from conan_slam_tpu.ops.spd_inverse import spd_inverse
+
+    import scipy.linalg as sl
+
+    rng = np.random.default_rng(7)
+    for m in (16, 60, 128):
+        h = rng.normal(size=(m, m)).astype(np.float64)
+        s = h @ h.T + 0.1 * m * np.eye(m)
+        # Wildly mixed scales (range^2 vs bearing^2 in the innovation cov).
+        scale = np.where(rng.random(m) < 0.5, 1e-2, 1e1)
+        s = s * np.outer(scale, scale)
+        s32 = s.astype(np.float32)
+        si = np.asarray(spd_inverse(jnp.asarray(s32), interpret=True), np.float64)
+        si_true = np.linalg.inv(s)
+
+        # Baseline: the float32 Cholesky route on the same (Jacobi-scaled)
+        # matrix — the sweep must be in the same accuracy class.
+        dsc = (1.0 / np.sqrt(np.diag(s32))).astype(np.float32)
+        shat = (s32 * np.outer(dsc, dsc)).astype(np.float32)
+        linv = sl.solve_triangular(
+            np.linalg.cholesky(shat), np.eye(m, dtype=np.float32),
+            lower=True,
+        ).astype(np.float32)
+        si_chol = (linv.T @ linv).astype(np.float64) * np.outer(dsc, dsc)
+
+        err_sweep = np.abs(si - si_true).max()
+        err_chol = np.abs(si_chol - si_true).max()
+        assert err_sweep <= 5.0 * err_chol + 1e-12, (m, err_sweep, err_chol)
+        # Symmetry by construction.
+        np.testing.assert_allclose(si, si.T, rtol=0, atol=np.abs(si).max() * 1e-6)
+
+
+def test_spd_inverse_guard_degrades_gracefully():
+    from conan_slam_tpu.ops.spd_inverse import spd_inverse
+
+    # Non-finite input -> zeros, not NaN propagation (reference slam.h:431-434).
+    s = jnp.asarray(np.full((8, 8), np.nan, np.float32))
+    out = np.asarray(spd_inverse(s, interpret=True))
+    np.testing.assert_array_equal(out, np.zeros((8, 8), np.float32))
+
+
 def test_rank_update_downdate_non_tileable_falls_back():
     rng = np.random.default_rng(1)
     d, r, m = 67, 4, 8   # not a multiple of 128 -> jnp fallback path
