@@ -31,7 +31,9 @@ def log(*a):
 
 N_LANDMARKS = 1024      # all pre-registered: D = 3 + 2*1024 = 2051
 WORLD_EXTENT = 6500.0   # ~40 landmarks visible per frame at 2000 m range
-BENCH_STEPS = 2400
+BENCH_STEPS = 9600   # long enough to amortise the ~40 ms per-dispatch RPC
+                     # latency of the remote TPU backend (<3% at this length)
+NATIVE_STEPS = 2400  # native C++ is steady-state from step 1; steps/s compare
 SEED = 42
 SIGMA0 = 1.0            # initial per-landmark position sigma [m]
 
@@ -100,7 +102,7 @@ def bench_native(lm, wp) -> tuple[float, float]:
     from conan_slam_tpu.native import run_ekf_baseline
 
     res = run_ekf_baseline(
-        lm, wp, BENCH_STEPS, seed=SEED, with_noise=True,
+        lm, wp, NATIVE_STEPS, seed=SEED, with_noise=True,
         prebuild_map=True, sigma0=SIGMA0,
     )
     log(f"native: {res.steps} steps in {res.seconds:.3f}s "

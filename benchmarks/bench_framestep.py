@@ -172,13 +172,19 @@ def main(modes):
     rng = np.random.default_rng(0)
     d = state0.x.shape[0]
 
-    if "full" in modes:
-        def full(key):
+    for mode in modes:
+        if not mode.startswith("full"):
+            continue
+        unroll = int(mode[6:]) if mode.startswith("full_u") else cfg.scan_unroll
+        cfg_u = cfg.replace(scan_unroll=unroll)
+        st_u = ekf_mod.init_state_with_map(world.landmarks, sigma0=SIGMA0)
+
+        def full(key, cfg_u=cfg_u, st_u=st_u):
             state, outs = run_ekf_slam_precomputed(
-                world, cfg, key, n_steps=BENCH_STEPS, init_state=state0
+                world, cfg_u, key, n_steps=BENCH_STEPS, init_state=st_u
             )
             return outs.x_est
-        timeit("full", full, key)
+        timeit(mode, full, key)
 
     if "factors" in modes:
         timeit("factors", run_scan(factors_step, state0, frames), state0, frames)

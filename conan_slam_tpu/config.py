@@ -95,8 +95,12 @@ class SlamConfig:
     fast_frame: bool = True
     # Fold the frame factors into the measurement update so P is rewritten
     # exactly once per frame (Pallas fused kernel on TPU).  Applies on the
-    # known-association batch path; other paths fall back automatically.
+    # batch-update path; other paths fall back automatically.
     fused_obs: bool = True
+    # lax.scan unroll factor for the frame loop.  Measured on v5e: no win at
+    # 4/8 (the apparent per-iteration overhead is per-dispatch RPC latency,
+    # not scan overhead), so default 1; kept as a tuning knob.
+    scan_unroll: int = 1
 
     @property
     def num_effective(self) -> float:

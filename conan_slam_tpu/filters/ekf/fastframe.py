@@ -101,7 +101,19 @@ def _frame_core(
     vns, swans, phi_meas, active,
     q_cov, wheel_base, dt, sigma_heading, use_heading: bool,
 ):
-    """Shared S-sub-step compounding; returns (x, pose_trace, vmat, bmat)."""
+    """Shared S-sub-step compounding; returns (x, pose_trace, vmat, bmat).
+
+    Coefficient-space formulation: every D-vector the recursion produces
+    (the tracked column P e2, heading gains w_k, composition vectors t_k,
+    transformed noise factors) lies in span{P0 e2, e0, e1, e2} — the noise
+    factors F_k only populate rows 0:3, u_k lies in span{e0, e1}, and
+    w_k ∝ col2 which stays inside the span.  So the whole per-sub-step
+    recursion runs on 4-coefficient scalars (one small fusion on device
+    instead of ~10 O(D) vector ops per sub-step), and the (D, r) factor
+    matrix materialises at the end as ONE outer product against P0 e2 plus
+    three row writes.  Algebraically identical to the direct recursion
+    (validated against the sequential filter in tests/test_fastframe.py).
+    """
     s_steps = len(vns) if isinstance(vns, (list, tuple)) else vns.shape[0]
     d = state.x.shape[0]
     dtype = state.p.dtype
@@ -111,17 +123,27 @@ def _frame_core(
     q_chol = jnp.linalg.cholesky(q_cov)
 
     pose = state.pose
-    col2 = state.p[:, 2]
-    p22_0 = col2[2]
-    p2_0 = col2
+    p2_0 = state.p[:, 2]
+    p22_0 = p2_0[2]
+    p2_head = p2_0[:3]
 
-    e2 = jnp.zeros((d,), dtype).at[2].set(1.0)
+    # Coefficient vectors c represent p2_0*c[0] + e0*c[1] + e1*c[2] + e2*c[3].
+    zero4 = jnp.zeros((4,), dtype)
 
-    # Per-substep collected quantities.
-    a_list = []        # composition vectors a_k of (C_k G_k) = I + a_k e2^T
-    f_list = []        # noise factors F_k (D, 2) *before* suffix transforms
-    w_list = []        # heading gains w_k (D,)
-    v_list = []        # heading innovations v_k (scalars)
+    def val2(c):
+        """Index-2 component of the represented vector."""
+        return c[0] * p22_0 + c[3]
+
+    def head3(c):
+        """First three components of the represented vector."""
+        return p2_head * c[0] + jnp.stack([c[1], c[2], c[3]])
+
+    gamma = zero4.at[0].set(1.0)    # col2 = P e2 tracking
+    a_list = []        # composition coefficients of (C_k G_k) = I + a_k e2^T
+    f_list = []        # noise factor coefficients (4, 2) per sub-step
+    b3_list = []       # raw (3, 2) noise blocks (for the f' row-2 term)
+    w_list = []        # heading gain coefficients (4,)
+    v_list = []        # heading innovations (scalars)
     pose_trace = []    # exact pose mean after each sub-step
 
     for k in range(s_steps):
@@ -132,80 +154,81 @@ def _frame_core(
         # --- predict ---
         gv, gu = motion.jacobians(pose, vn, swan, wheel_base, dt)
         # G = I + u e2^T with u = (Gv[0,2], Gv[1,2], 0, ...).
-        u = jnp.zeros((d,), dtype).at[0].set(gv[0, 2]).at[1].set(gv[1, 2])
-        u = jnp.where(act, u, 0.0)
-        f = jnp.zeros((d, 2), dtype).at[:3, :].set(
-            jnp.matmul(gu, q_chol, precision=PRECISION)
-        )
-        f = jnp.where(act, f, 0.0)
+        u_c = zero4.at[1].set(gv[0, 2]).at[2].set(gv[1, 2])
+        u_c = jnp.where(act, u_c, 0.0)
+        b3 = jnp.where(act, jnp.matmul(gu, q_chol, precision=PRECISION), 0.0)
+        f_c = jnp.zeros((4, 2), dtype).at[1:, :].set(b3)
         # col2 <- G col2 + (F F^T) e2  =  col2 + u col2[2] + F F[2,:]^T.
-        col2 = col2 + u * col2[2] + f @ f[2, :]
+        gamma = gamma + u_c * val2(gamma) + f_c @ b3[2, :]
         pose_new = motion.step(pose, vn, swan, wheel_base, dt)
         pose = jnp.where(act, pose_new, pose)
 
         # --- heading observation ---
         if use_heading:
-            s_k = col2[2] + r_head
-            w = jnp.where(act, col2 / s_k, 0.0)
+            c2 = val2(gamma)
+            s_k = c2 + r_head
+            w_c = jnp.where(act, gamma / s_k, 0.0)
             v = jnp.where(act, wrap_angle(phi_meas[k] - pose[2]), 0.0)
             # col2' = (1 - w2)(col2 - w col2[2]) + r w2 w.
-            w2 = w[2]
-            col2 = jnp.where(
-                act, (1.0 - w2) * (col2 - w * col2[2]) + r_head * w2 * w, col2
+            w2 = c2 / s_k
+            gamma = jnp.where(
+                act, (1.0 - w2) * (gamma - w_c * c2) + r_head * w2 * w_c, gamma
             )
             # Pose mean correction from this heading update (rows 0:3 of w).
-            pose = pose + w[:3] * v
+            pose = pose + head3(w_c) * v
             pose = pose.at[2].set(wrap_angle(pose[2]))
-            a = u - w   # (C G) = I + (u - w(1 + u_2)) e2^T with u_2 = 0.
+            a_c = u_c - w_c   # (C G) = I + (u - w(1 + u_2)) e2^T, u_2 = 0.
         else:
-            w = jnp.zeros((d,), dtype)
+            w_c = zero4
             v = jnp.asarray(0.0, dtype)
-            a = u
-        a_list.append(a)
-        f_list.append(f)
-        w_list.append(w)
+            a_c = u_c
+        a_list.append(a_c)
+        f_list.append(f_c)
+        b3_list.append(b3)
+        w_list.append(w_c)
         v_list.append(v)
         pose_trace.append(pose)
 
     # --- suffix composition: t_k = transform AFTER sub-step k (for w terms),
-    #     s_k = t_k composed with C_k (for F terms), m = full composition ---
+    #     composed with C_k for the F terms, m = full composition ---
     def compose(b, a):
         """(I + a e2^T)(I + b e2^T) -> coefficient a(1 + b_2) + b."""
-        return a * (1.0 + b[2]) + b
+        return a * (1.0 + val2(b)) + b
 
     t = [None] * s_steps
-    acc = jnp.zeros((d,), dtype)           # identity
+    acc = zero4
     for k in range(s_steps - 1, -1, -1):
         t[k] = acc
         acc = compose(a_list[k], acc)      # prepend (C_k G_k)
-    m = acc
+    m_c = acc
 
-    # Transformed factors.
-    w_prime = [w_list[k] + t[k] * w_list[k][2] for k in range(s_steps)]
-    # F term enters after C_k: suffix transform is t_k composed with C_k,
-    # i.e. coefficient c_k = compose(-w_k, t_k) acting as (I + c e2^T).
+    # Transformed factors (still 4-coefficient space).
+    w_prime = [w_list[k] + t[k] * val2(w_list[k]) for k in range(s_steps)]
     f_prime = []
     for k in range(s_steps):
         c_k = compose(-w_list[k], t[k]) if use_heading else t[k]
-        f_prime.append(f_list[k] + jnp.outer(c_k, f_list[k][2, :]))
+        f_prime.append(f_list[k] + jnp.outer(c_k, b3_list[k][2, :]))
 
-    # --- mean: map components get sum_k v_k (transformed w_k);
-    #     the pose part was tracked exactly above.  A heading correction at
-    #     sub-step k to the mean is NOT transformed by later covariance
-    #     factors (the mean evolves additively), so plain w_k applies. ---
+    # --- mean: map components get sum_k v_k w_k; the pose part was tracked
+    #     exactly above.  w_k's e-basis components only touch rows 0:3,
+    #     which are overwritten by the exact pose — only the p2_0 component
+    #     survives. ---
     x = state.x
     if use_heading:
-        corr = sum(v_list[k] * w_list[k] for k in range(s_steps))
-        x = x + corr.at[:3].set(0.0)
+        corr0 = sum(v_list[k] * w_list[k][0] for k in range(s_steps))
+        x = x + (p2_0 * corr0).at[:3].set(0.0)
     x = x.at[:3].set(pose)
 
-    # --- covariance: single symmetric rank update ---
+    # --- covariance factors: coefficient columns -> ONE outer product ---
     # columns: [m, p2] + S F-pairs + S w vectors.
-    v_cols = [m, p2_0] + [f_prime[k][:, i] for k in range(s_steps) for i in (0, 1)]
+    c_cols = [m_c, zero4.at[0].set(1.0)]
+    c_cols += [f_prime[k][:, i] for k in range(s_steps) for i in (0, 1)]
     if use_heading:
-        v_cols += w_prime
-    vmat = jnp.stack(v_cols, axis=1)                    # (D, 2 + 2S [+ S])
-    nb = vmat.shape[1]
+        c_cols += w_prime
+    cmat = jnp.stack(c_cols, axis=1)                    # (4, 2 + 2S [+ S])
+    nb = cmat.shape[1]
+    vmat = p2_0[:, None] * cmat[0][None, :]             # (D, nb)
+    vmat = vmat.at[:3, :].add(cmat[1:, :])
     bmat = jnp.zeros((nb, nb), dtype)
     bmat = bmat.at[0, 0].set(p22_0)
     bmat = bmat.at[0, 1].set(1.0)

@@ -90,32 +90,74 @@ def fused_frame_update(
     chain (the serialized device loops dominate at this size), and the
     measurement downdate folds into the factored rank update as a -S^-1
     middle block — P is read and written exactly once for the whole frame.
+
+    The operator itself is never materialised: H touches only the 3 pose
+    columns and the 2 columns of each measured slot, so P H'^T is assembled
+    from a (2NZ, D) *row gather* of the symmetric P (plus the factored
+    V B V^T correction) instead of a dense (D, D) x (D, 2NZ) matmul — the
+    only full pass over P in the whole frame is the final fused rank update.
     """
     from conan_slam_tpu.core.linalg import PRECISION, sym
+    from conan_slam_tpu.models import sensor
     from conan_slam_tpu.ops.pallas_update import (
         rank_update_downdate,
         rank_update_downdate_reference,
     )
     from conan_slam_tpu.ops.spd_inverse import spd_inverse
 
-    v, h, rr = build_batch_operator(state, obs, slots, mask, r_cov)
-    ht = h.T                                                     # (D, 2NZ)
-    pht = jnp.matmul(state.p, ht, precision=PRECISION) + jnp.matmul(
-        vmat,
-        jnp.matmul(bmat, jnp.matmul(vmat.T, ht, precision=PRECISION),
-                   precision=PRECISION),
-        precision=PRECISION,
+    d = state.x.shape[0]
+    nz = obs.z.shape[0]
+    cap = state.capacity
+    safe = jnp.clip(slots, 0, cap - 1)
+    xf = state.features[safe]                                    # (NZ, 2)
+    zp, hv, hf = sensor.observe(state.pose, xf)
+    hv = jnp.where(mask[:, None, None], hv, 0.0)                 # (NZ, 2, 3)
+    hf = jnp.where(mask[:, None, None], hf, 0.0)                 # (NZ, 2, 2)
+    dz = obs.z - zp
+    v = jnp.stack([dz[:, 0], wrap_angle(dz[:, 1])], axis=-1)
+    v = jnp.where(mask[:, None], v, 0.0).reshape(2 * nz)
+
+    rows2 = (3 + 2 * safe[:, None] + jnp.arange(2)[None, :]).reshape(-1)
+
+    # --- phtT = H (P + V B V^T) as (2NZ, D) row strips ---
+    prow_pose = state.p[:3, :]                                   # (3, D)
+    prow_slot = state.p[rows2, :].reshape(nz, 2, d)              # row gather
+    hv2 = hv.reshape(2 * nz, 3)
+    phtT = jnp.matmul(hv2, prow_pose, precision=PRECISION) + jnp.sum(
+        hf[:, :, :, None] * prow_slot[:, None, :, :], axis=2
+    ).reshape(2 * nz, d)
+    # Factored correction: (H V) B V^T.
+    hvm = jnp.matmul(hv2, vmat[:3, :], precision=PRECISION) + jnp.sum(
+        hf[:, :, :, None] * vmat[rows2, :].reshape(nz, 2, -1)[:, None, :, :],
+        axis=2,
+    ).reshape(2 * nz, -1)                                        # (2NZ, r)
+    phtT = phtT + jnp.matmul(
+        jnp.matmul(hvm, bmat, precision=PRECISION), vmat.T, precision=PRECISION
     )
-    s = sym(jnp.matmul(h, pht, precision=PRECISION) + rr)
+
+    # --- S = phtT H^T + R: H^T touches the same pose/slot columns ---
+    s = jnp.matmul(phtT[:, :3], hv2.T, precision=PRECISION)      # (2NZ, 2NZ)
+    ph_slot = phtT[:, rows2].reshape(2 * nz, nz, 2)
+    s = s + jnp.sum(
+        ph_slot[:, :, None, :] * hf[None, :, :, :], axis=3
+    ).reshape(2 * nz, 2 * nz)
+    eye2 = jnp.eye(2, dtype=s.dtype)
+    rblocks = jnp.where(mask[:, None, None], r_cov, eye2)        # (NZ, 2, 2)
+    idx = jnp.arange(nz)
+    s = s.reshape(nz, 2, nz, 2).at[idx, :, idx, :].add(rblocks).reshape(
+        2 * nz, 2 * nz
+    )
+    s = sym(s)
+
     si = spd_inverse(s)                                          # (2NZ, 2NZ)
     siv = si @ v
-    x = state.x + pht @ siv
+    x = state.x + siv @ phtT
     x = x.at[2].set(wrap_angle(x[2]))
 
     # P <- P + [V PHT] [[B, 0], [0, -S^-1]] [V PHT]^T in one fused pass.
     nb = bmat.shape[0]
     m = s.shape[0]
-    vbig = jnp.concatenate([vmat, pht], axis=1)                  # (D, nb+2NZ)
+    vbig = jnp.concatenate([vmat, phtT.T], axis=1)               # (D, nb+2NZ)
     bbig = jnp.zeros((nb + m, nb + m), dtype=bmat.dtype)
     bbig = bbig.at[:nb, :nb].set(bmat)
     bbig = bbig.at[nb:, nb:].set(-si)

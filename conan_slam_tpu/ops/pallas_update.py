@@ -94,7 +94,7 @@ def rank_update_downdate(p, v, b, w1=None, *, interpret: bool = False):
 
     # --- row-panel schedule for tile-aligned D ---
     if d % 128 == 0:
-        budget = 10 * 2**20
+        budget = 12 * 2**20
         tr = 0
         for cand in (512, 256, 128):
             if d % cand:

@@ -230,7 +230,9 @@ def _run_precomp(world, cfg, key, truth_dev, obs_dev, n_steps, init_state):
     noise = make_noise(cfg, "ekf")
     step = functools.partial(ekf_precomp_frame_step, cfg=cfg, world=world, noise=noise)
     with jax.default_matmul_precision("highest"):
-        state, outs = jax.lax.scan(step, init_state, frames)
+        state, outs = jax.lax.scan(
+            step, init_state, frames, unroll=min(cfg.scan_unroll, n_frames)
+        )
     outs = jax.tree_util.tree_map(
         lambda x: x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:]), outs
     )
@@ -350,7 +352,10 @@ def run_pf_slam(world: World, cfg: SlamConfig, key: jax.Array, n_steps: int = 25
     )
     step = functools.partial(pf_sim_step, cfg=cfg, world=world, noise=noise)
     with jax.default_matmul_precision("highest"):
-        return jax.lax.scan(step, carry, None, length=n_steps)
+        return jax.lax.scan(
+            step, carry, None, length=n_steps,
+            unroll=min(cfg.scan_unroll, n_steps),
+        )
 
 
 def ekf_frame_step(carry: EKFSimCarry, _, *, cfg: SlamConfig, world: World, noise: NoiseCovs):
@@ -526,7 +531,10 @@ def run_ekf_slam(
     # Covariance algebra needs true fp32 matmuls; TPU defaults to bf16
     # passes which destroy positive-definiteness (SURVEY.md section 7.3).
     with jax.default_matmul_precision("highest"):
-        carry, outs = jax.lax.scan(step, carry, None, length=n_frames)
+        carry, outs = jax.lax.scan(
+            step, carry, None, length=n_frames,
+            unroll=min(cfg.scan_unroll, n_frames),
+        )
     # (n_frames, interval, ...) -> (n_frames * interval, ...).
     outs = jax.tree_util.tree_map(
         lambda x: x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:]), outs
