@@ -72,6 +72,12 @@ class SlamConfig:
     # PF.cpp:513-531) vs the default one-shot information-form fusion
     # (batched; a valid proposal — importance weights stay exact).
     proposal_relinearize: bool = False
+    # Resampling scheme: "stratified" (reference semantics, defect-fixed) or
+    # "systematic" (low-variance).  ``pf_roughening`` > 0 adds Gordon-style
+    # post-resample pose jitter against sample impoverishment (robustness
+    # extensions; no reference analogue).
+    pf_resample_kind: str = "stratified"
+    pf_roughening: float = 0.0
 
     # --- filter noise inflation factors (reference test/main.cpp:125-129,
     # 242-246: QE=2Q for both filters; RE=8R for EKF, RE=2R for PF) ---

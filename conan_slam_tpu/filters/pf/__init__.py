@@ -44,6 +44,8 @@ def observation_step(
     sample_proposal_on: bool,
     resample_on: bool,
     proposal_relinearize: bool = False,
+    resample_kind: str = "stratified",
+    roughening: float = 0.0,
 ) -> ParticleEnsemble:
     """Associate -> proposal+feature updates -> resample -> new features,
     mirroring the driver's PF observation branch (test/main.cpp:290-333)."""
@@ -59,7 +61,8 @@ def observation_step(
         else:
             e = ens
         e = feature_update(e, obs, slots, known, r_cov)
-        return resample(e, k_res, num_effective, resample_on)
+        return resample(e, k_res, num_effective, resample_on,
+                        kind=resample_kind, roughening=roughening)
 
     ens = jax.lax.cond(have_known, known_branch, lambda e: e, ens)
 

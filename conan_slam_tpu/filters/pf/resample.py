@@ -29,27 +29,54 @@ def stratified_indices(key, weights, n: int) -> jax.Array:
     return jnp.clip(jnp.searchsorted(cum, u), 0, n - 1)
 
 
+def systematic_indices(key, weights, n: int) -> jax.Array:
+    """Systematic (low-variance) resampling: ONE uniform shared by all
+    strata ((i + u)/N).  Lower resampling variance than stratified; no
+    reference analogue (robustness extension for small ensembles)."""
+    u = (jnp.arange(n, dtype=weights.dtype)
+         + jax.random.uniform(key, (), dtype=weights.dtype)) / n
+    cum = jnp.cumsum(weights)
+    return jnp.clip(jnp.searchsorted(cum, u), 0, n - 1)
+
+
 def resample(
-    ens: ParticleEnsemble, key, num_effective: float, enabled: bool
+    ens: ParticleEnsemble, key, num_effective: float, enabled: bool,
+    kind: str = "stratified", roughening: float = 0.0,
 ) -> ParticleEnsemble:
     """Resample when Neff drops below the threshold (reference PF.cpp:489-499).
 
     The gather touches every per-particle array (pose, covariance, whole
     maps); with a sharded ensemble this is the one cross-particle collective
     of the filter.
+
+    ``kind``: "stratified" (reference semantics, defect-fixed) or
+    "systematic" (low-variance).  ``roughening`` > 0 adds post-resample pose
+    jitter with std = roughening * ensemble-spread * N^(-1/3) per component
+    (Gordon-style regularisation against sample impoverishment in small
+    ensembles; heading jitter wrapped).
     """
     if not enabled:
         return ens
 
     n = ens.num_particles
+    k_idx, k_rough = jax.random.split(key)
     w = normalized_weights(ens)
     neff = effective_count(w)
-    idx = stratified_indices(key, w, n)
+    pick = systematic_indices if kind == "systematic" else stratified_indices
+    idx = pick(k_idx, w, n)
 
     def do(ens):
+        pose = ens.pose[idx]
+        if roughening > 0.0:
+            from conan_slam_tpu.core.geometry import wrap_angle
+
+            spread = jnp.max(ens.pose, axis=0) - jnp.min(ens.pose, axis=0)
+            sig = roughening * spread * float(n) ** (-1.0 / 3.0)
+            pose = pose + sig * jax.random.normal(k_rough, pose.shape, pose.dtype)
+            pose = pose.at[:, 2].set(wrap_angle(pose[:, 2]))
         return ParticleEnsemble(
             log_w=jnp.full((n,), -jnp.log(float(n)), dtype=ens.log_w.dtype),
-            pose=ens.pose[idx],
+            pose=pose,
             pose_cov=ens.pose_cov[idx],
             xf=ens.xf[idx],
             pf=ens.pf[idx],

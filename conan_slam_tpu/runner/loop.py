@@ -322,6 +322,8 @@ def pf_sim_step(carry: PFSimCarry, _, *, cfg: SlamConfig, world: World, noise: N
             sample_proposal_on=cfg.switch_sample_proposal,
             resample_on=cfg.switch_resample,
             proposal_relinearize=cfg.proposal_relinearize,
+            resample_kind=cfg.pf_resample_kind,
+            roughening=cfg.pf_roughening,
         )
 
     ens = jax.lax.cond(do_obs, obs_branch, lambda e: e, ens)

@@ -133,6 +133,39 @@ def test_stratified_resample_statistics():
     np.testing.assert_allclose(frac, np.asarray(w), atol=0.05)
 
 
+def test_systematic_resample_statistics_and_roughening():
+    from conan_slam_tpu.filters.pf.resample import systematic_indices
+
+    key = jax.random.PRNGKey(2)
+    w = jnp.asarray(np.asarray([0.5, 0.25, 0.125, 0.125], np.float32))
+    counts = np.zeros(4)
+    for i in range(200):
+        idx = systematic_indices(jax.random.fold_in(key, i), w, 4)
+        counts += np.bincount(np.asarray(idx), minlength=4)
+    frac = counts / counts.sum()
+    np.testing.assert_allclose(frac, np.asarray(w), atol=0.05)
+    # Systematic draws are sorted (single shared offset).
+    idx = np.asarray(systematic_indices(key, w, 4))
+    assert np.all(np.diff(idx) >= 0)
+
+    # Roughening jitters resampled poses (heading stays wrapped) but leaves
+    # the no-resample path untouched.
+    ens = pf.init_ensemble(8, 2, 4)
+    lw = np.full(8, -30.0, np.float32)
+    lw[3] = 0.0
+    spread = np.linspace(-3.0, 4.0, 8).astype(np.float32)
+    ens = ens._replace(log_w=jnp.asarray(lw),
+                       pose=jnp.stack([jnp.asarray(spread)] * 3, axis=1))
+    out = pf.resample(ens, jax.random.PRNGKey(0), num_effective=6.0,
+                      enabled=True, kind="systematic", roughening=0.05)
+    pose = np.asarray(out.pose)
+    # Dominant particle (index 3, pose 0.0) cloned everywhere, then jittered:
+    # std = 0.05 * spread(7) * 8^(-1/3) ~ 0.18 — small but nonzero.
+    assert not np.all(pose[:, 0] == 0.0)
+    assert np.abs(pose[:, 0]).max() < 1.5
+    assert np.all(np.abs(pose[:, 2]) <= np.pi + 1e-6)
+
+
 def test_resample_triggers_on_degenerate_weights():
     ens = pf.init_ensemble(8, 2, 4)
     lw = np.full(8, -30.0, np.float32)
