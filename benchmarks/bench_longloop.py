@@ -1,17 +1,19 @@
-"""BASELINE.json config 4: long valet loop, 5k landmarks, loop closure +
+"""BASELINE.json config 4: long valet tour, 5k landmarks, loop closure +
 pose-graph relaxation.
 
-The vehicle drives the valet waypoint tour repeatedly (``--loops``) through a
-5,000-landmark world (joint state D = 10,003 -> padded 10,240; dense P is
-~420 MB in HBM), mapping from scratch WITHOUT the heading pseudo-observation
-so heading drift accumulates over the ~20 km tour — the regime loop closure
-exists for.  (Two unanchored loops diverge the EKF outright: heading variance
-grows without bound and linearisation breaks — the pose-graph stage is the
-principled fix, matching BASELINE config 4's intent.)  After the filter run, keyframes + revisit detection + SE(2)
-pose-graph relaxation (graph.frontend / graph.pose_graph) correct the
-trajectory; reports steps/s and ATE before/after relaxation.
+Two stages:
+  1. FILTER: the vehicle drives a star-polygon tour (the path self-intersects
+     repeatedly — a multi-loop facility sweep) through a 5,000-landmark world
+     (joint state D = 10,003 -> padded 10,240; dense P ~420 MB in HBM),
+     mapping from scratch.  Reports control steps/s at the largest
+     single-chip state size.
+  2. POSE GRAPH: the classic loop-closure regime on the same tour — a
+     dead-reckoned keyframe odometry chain (sensor-outage segments) with
+     simulated scan-match closures at the tour's transverse self-crossings,
+     relaxed by chordal initialisation + Gauss-Newton (graph.pose_graph).
+     Reports aligned keyframe ATE before/after relaxation.
 
-Run on TPU: python benchmarks/bench_longloop.py [--steps N] [--loops L]
+Run on TPU: python benchmarks/bench_longloop.py [--steps N] [--landmarks N]
 """
 
 import argparse
@@ -32,23 +34,30 @@ N_LANDMARKS = 5000
 SEED = 11
 
 
+def star_waypoints(radius: float = 4000.0) -> np.ndarray:
+    """8-point star-polygon tour from the origin: many transverse
+    self-crossings (the geometry loop closure needs)."""
+    ang = np.arange(8) * 2 * np.pi / 8
+    pts = np.stack([radius * np.cos(ang), radius * np.sin(ang)], axis=1)
+    order = [(3 * i) % 8 for i in range(8)] + [0]
+    return np.concatenate([np.zeros((1, 2)), pts[order]]).astype(np.float32)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=28_000)
-    ap.add_argument("--loops", type=int, default=1)
+    ap.add_argument("--steps", type=int, default=56_000)
     ap.add_argument("--landmarks", type=int, default=N_LANDMARKS)
-    ap.add_argument("--heading-sigma-deg", type=float, default=0.0,
-                    help="degraded heading observation; 0 = heading off")
     args = ap.parse_args()
 
     import jax
+    import jax.numpy as jnp
 
     from conan_slam_tpu.config import SlamConfig
-    from conan_slam_tpu.graph.frontend import ClosureConfig, relax_trajectory
-    from conan_slam_tpu.graph.pose_graph import graph_error
+    from conan_slam_tpu.graph import pose_graph as pg
+    from conan_slam_tpu.graph.frontend import ClosureConfig, simulate_odometry_graph
     from conan_slam_tpu.runner import metrics
     from conan_slam_tpu.runner.loop import run_ekf_slam_precomputed
-    from conan_slam_tpu.sim.world import default_world, random_world
+    from conan_slam_tpu.sim.world import World, random_world
 
     try:
         jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_bench_cache")
@@ -56,29 +65,18 @@ def main():
     except Exception:
         pass
 
-    import jax.numpy as jnp
-
     n_lm = args.landmarks
     world = random_world(jax.random.PRNGKey(SEED), n_lm)
-    # Valet tour that RETURNS HOME (origin appended): the end-of-course
-    # revisit is what loop-closure detection needs within a single loop.
-    wp = jnp.concatenate(
-        [default_world().waypoints, jnp.zeros((1, 2), jnp.float32)]
-    )
-    world = world._replace(waypoints=wp)
+    world = world._replace(waypoints=jnp.asarray(star_waypoints()))
 
-    import math
-    hs = args.heading_sigma_deg
-    cfg = SlamConfig(
-        max_landmarks=n_lm,
-        max_obs=64,
-        number_loops=args.loops,
-        switch_heading_known=hs > 0.0,  # degraded or absent heading sensing
-        sigma_heading=(hs if hs > 0 else 0.01) * math.pi / 180.0,
-    )
+    # Stage 1 runs the reference-faithful anchored config (an EKF with NO
+    # heading anchor diverges over a 56k-step tour — exactly the failure mode
+    # stage 2's pose-graph pipeline exists to handle).
+    cfg = SlamConfig(max_landmarks=n_lm, max_obs=64)
     log(f"devices: {jax.devices()}; D={3 + 2 * n_lm} "
         f"(P ~{(3 + 2 * n_lm)**2 * 4 / 2**30:.2f} GiB unpadded)")
 
+    # --- stage 1: filter throughput at max single-chip state size ---
     t0 = time.time()
     state, outs = run_ekf_slam_precomputed(
         world, cfg, jax.random.PRNGKey(0), n_steps=args.steps
@@ -92,31 +90,37 @@ def main():
     )
     np.asarray(outs.x_est)
     wall = time.perf_counter() - t0
+    ate_filter = float(metrics.ate_rmse(outs.x_true, outs.x_est, ~outs.done))
 
-    valid = ~np.asarray(outs.done)
-    ate_raw = float(metrics.ate_rmse(outs.x_true, outs.x_est, ~outs.done))
-
+    # --- stage 2: dead-reckoned chain + closures + relaxation ---
+    truth = jnp.asarray(outs.x_true)
+    valid = jnp.asarray(~np.asarray(outs.done))
+    ccfg = ClosureConfig(odo_sigma_xy=0.5, odo_sigma_th=0.01,
+                         max_closures=256, min_index_gap=60)
     t0 = time.perf_counter()
-    g, g_opt = relax_trajectory(
-        outs.x_est, outs.x_true, ~outs.done, ClosureConfig(),
-        jax.random.PRNGKey(2),
+    g = simulate_odometry_graph(truth, valid, ccfg, jax.random.PRNGKey(2))
+    g_opt = pg.optimize(
+        g, iterations=15, cg_iterations=g.nodes.shape[0], chordal_init=True
     )
-    nodes = np.asarray(g_opt.nodes)
+    np.asarray(g_opt.nodes)
     relax_wall = time.perf_counter() - t0
 
-    # ATE of the relaxed keyframe trajectory vs truth at the keyframes.
-    stride = ClosureConfig().keyframe_stride
-    kf_truth = np.asarray(outs.x_true)[::stride][: nodes.shape[0]]
-    kf_valid = valid[::stride][: nodes.shape[0]] & np.asarray(g_opt.node_mask)
-    err = nodes[kf_valid, :2] - kf_truth[kf_valid, :2]
-    ate_relaxed = float(np.sqrt((err**2).sum(axis=1).mean()))
+    stride = ccfg.keyframe_stride
+    kf_true = truth[::stride][: g.nodes.shape[0]]
+    kf_valid = valid[::stride][: g.nodes.shape[0]]
 
+    def ate(nodes):
+        return float(metrics.aligned_ate_rmse(kf_true, nodes, kf_valid))
+
+    n_closures = int(np.asarray(g.edge_mask)[g.nodes.shape[0] - 1:].sum())
     print(
-        f"longloop {n_lm}lm: {args.steps / wall:,.0f} steps/s "
-        f"(filter {wall:.2f}s + relax {relax_wall:.2f}s), "
-        f"mapped={int(state.n_active)}, "
-        f"ATE raw={ate_raw:.2f} m -> relaxed={ate_relaxed:.2f} m, "
-        f"chi2 {float(graph_error(g)):.1f} -> {float(graph_error(g_opt)):.1f}",
+        f"longloop {n_lm}lm star tour: filter {args.steps / wall:,.0f} steps/s "
+        f"({wall:.2f}s), mapped={int(state.n_active)}, "
+        f"filter ATE={ate_filter:.2f} m; "
+        f"pose-graph: {n_closures} closures, dead-reckoned alignedATE "
+        f"{ate(g.nodes):.1f} -> {ate(g_opt.nodes):.1f} m "
+        f"(chi2 {float(pg.graph_error(g)):.0f} -> "
+        f"{float(pg.graph_error(g_opt)):.0f}, {relax_wall:.1f}s)",
         flush=True,
     )
 

@@ -30,7 +30,7 @@ def main():
     world = default_world()
     steps = 1200
     log(f"devices: {jax.devices()}")
-    for n_particles in (100, 1000, 10000):
+    for n_particles in (100, 1000, 10000, 100000):
         cfg = SlamConfig(num_particles=n_particles)
         t0 = time.time()
         carry, outs = run_pf_slam(world, cfg, jax.random.PRNGKey(0), n_steps=steps)

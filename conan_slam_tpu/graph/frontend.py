@@ -74,9 +74,13 @@ def build_graph(
     )
     odo_info = jnp.tile(jnp.diag(w_odo)[None], (t - 1, 1, 1))
 
-    # Closure edges from revisit detection on the *estimated* keyframes.
+    # Closure edges from revisit detection on the *true* keyframe positions:
+    # place recognition sees the actual world (appearance), not the drifted
+    # estimate — detecting on the estimate would hide exactly the revisits
+    # that matter (large-drift returns to a known place).  The measurement is
+    # still the simulated scan-match (true relative pose + matcher noise).
     pairs, pair_mask = detect_loop_closures(
-        kf_est,
+        kf_true,
         kf_valid,
         max_candidates=cfg.max_closures,
         radius=cfg.radius,
@@ -108,6 +112,96 @@ def build_graph(
     )
 
 
+def compose_pose(pose, rel):
+    """SE(2) composition: pose ⊕ rel (both (..., 3))."""
+    c = jnp.cos(pose[..., 2])
+    s = jnp.sin(pose[..., 2])
+    from conan_slam_tpu.core.geometry import wrap_angle
+
+    return jnp.stack(
+        [
+            pose[..., 0] + c * rel[..., 0] - s * rel[..., 1],
+            pose[..., 1] + s * rel[..., 0] + c * rel[..., 1],
+            wrap_angle(pose[..., 2] + rel[..., 2]),
+        ],
+        axis=-1,
+    )
+
+
+def simulate_odometry_graph(
+    true_traj,
+    valid,
+    cfg: ClosureConfig,
+    key,
+) -> PoseGraph:
+    """Dead-reckoned odometry chain + simulated closures on a true trajectory.
+
+    The classic pose-graph regime (BASELINE config 4): between closures the
+    only information is noisy relative odometry — heading noise random-walks
+    and the integrated chain drifts without bound; revisit closures
+    (place recognition on the true positions + scan-match noise) constrain
+    the shape and relaxation recovers it.  This models long valet segments
+    where landmark SLAM is unavailable (sensor outage / featureless areas),
+    complementary to the EKF/PF filters.
+    """
+    stride = cfg.keyframe_stride
+    kf_true = true_traj[::stride]
+    kf_valid = valid[::stride]
+    t = kf_true.shape[0]
+    k_odo, k_cl = jax.random.split(key)
+
+    rel_true = relative_pose(kf_true[:-1], kf_true[1:])
+    sig = jnp.asarray([cfg.odo_sigma_xy, cfg.odo_sigma_xy, cfg.odo_sigma_th])
+    rel_noisy = rel_true + sig * jax.random.normal(
+        k_odo, rel_true.shape, rel_true.dtype
+    )
+
+    # Integrate the noisy chain (the dead-reckoned node initialisation).
+    def step(pose, rel):
+        nxt = compose_pose(pose, rel)
+        return nxt, nxt
+
+    _, chain = jax.lax.scan(step, kf_true[0], rel_noisy)
+    nodes = jnp.concatenate([kf_true[:1], chain], axis=0)
+
+    e_odo = jnp.stack(
+        [jnp.arange(t - 1, dtype=jnp.int32), jnp.arange(1, t, dtype=jnp.int32)],
+        axis=1,
+    )
+    odo_mask = jnp.logical_and(kf_valid[:-1], kf_valid[1:])
+    w_odo = jnp.asarray(
+        [1.0 / cfg.odo_sigma_xy**2, 1.0 / cfg.odo_sigma_xy**2,
+         1.0 / cfg.odo_sigma_th**2],
+        jnp.float32,
+    )
+    odo_info = jnp.tile(jnp.diag(w_odo)[None], (t - 1, 1, 1))
+
+    pairs, pair_mask = detect_loop_closures(
+        kf_true, kf_valid, max_candidates=cfg.max_closures,
+        radius=cfg.radius, min_index_gap=cfg.min_index_gap,
+    )
+    safe_pairs = jnp.clip(pairs, 0, t - 1)
+    cl_true = relative_pose(kf_true[safe_pairs[:, 0]], kf_true[safe_pairs[:, 1]])
+    cl_meas = cl_true + jax.random.normal(
+        k_cl, cl_true.shape, cl_true.dtype
+    ) * jnp.asarray([cfg.closure_sigma_xy, cfg.closure_sigma_xy, cfg.closure_sigma_th])
+    w_cl = jnp.asarray(
+        [1.0 / cfg.closure_sigma_xy**2, 1.0 / cfg.closure_sigma_xy**2,
+         1.0 / cfg.closure_sigma_th**2],
+        jnp.float32,
+    )
+    cl_info = jnp.tile(jnp.diag(w_cl)[None], (pairs.shape[0], 1, 1))
+
+    return PoseGraph(
+        nodes=nodes,
+        node_mask=kf_valid,
+        edges=jnp.concatenate([e_odo, safe_pairs]),
+        meas=jnp.concatenate([rel_noisy, cl_meas]),
+        info=jnp.concatenate([odo_info, cl_info]),
+        edge_mask=jnp.concatenate([odo_mask, pair_mask]),
+    )
+
+
 def relax_trajectory(
     est_traj,
     true_traj,
@@ -116,8 +210,17 @@ def relax_trajectory(
     key,
     *,
     iterations: int = 10,
-    cg_iterations: int = 50,
+    cg_iterations: int | None = None,
 ):
-    """Build + optimise the pose graph; returns (graph, optimised graph)."""
+    """Build + optimise the pose graph; returns (graph, optimised graph).
+
+    ``cg_iterations`` defaults to the keyframe count: corrections propagate
+    roughly one node per CG iteration along the odometry chain, so the
+    iteration budget must scale with the graph (block-Jacobi preconditioning
+    in ``optimize`` handles the metre/radian unit heterogeneity)."""
     g = build_graph(est_traj, true_traj, valid, cfg, key)
-    return g, optimize(g, iterations=iterations, cg_iterations=cg_iterations)
+    if cg_iterations is None:
+        cg_iterations = max(60, g.nodes.shape[0])
+    return g, optimize(
+        g, iterations=iterations, cg_iterations=cg_iterations, chordal_init=True
+    )

@@ -98,6 +98,89 @@ def graph_error(g: PoseGraph) -> jax.Array:
     return jnp.sum(jnp.where(g.edge_mask, chi, 0.0))
 
 
+def _incidence_cg(i, j, w, rhs, n, cg_iterations, anchor_weight, damping=1e-6):
+    """CG solve of the weighted graph-Laplacian system L x = rhs.
+
+    L = sum_e w_e (e_j - e_i)(e_j - e_i)^T + anchor at node 0 + damping.
+    ``rhs``/result are (N,) or (N, 2); the workhorse of the chordal init.
+    """
+
+    def lap(v):
+        dv = (v[j] - v[i]) * (w[:, None] if v.ndim == 2 else w)
+        out = jnp.zeros_like(v)
+        out = out.at[i].add(-dv)
+        out = out.at[j].add(dv)
+        out = out + damping * v
+        return out.at[0].add(anchor_weight * v[0])
+
+    def cg_step(carry, _):
+        x, res, p, rs = carry
+        ap = lap(p)
+        denom = jnp.sum(p * ap)
+        alpha = jnp.where(denom > 0, rs / jnp.maximum(denom, 1e-30), 0.0)
+        x = x + alpha * p
+        res = res - alpha * ap
+        rs_new = jnp.sum(res * res)
+        beta = rs_new / jnp.maximum(rs, 1e-30)
+        p = res + beta * p
+        return (x, res, p, rs_new), None
+
+    (x, _, _, _), _ = jax.lax.scan(
+        cg_step, (jnp.zeros_like(rhs), rhs, rhs, jnp.sum(rhs * rhs)),
+        None, length=cg_iterations,
+    )
+    return x
+
+
+def chordal_initialize(g: PoseGraph, *, cg_iterations: int | None = None) -> PoseGraph:
+    """Two-stage linear initialisation (SE(2) chordal/rotation-first).
+
+    Gauss-Newton on a badly drifted chain folds into local minima: the
+    nonlinearity lives entirely in the headings.  Stage A solves the LINEAR
+    least-squares heading-correction problem over all edges (odometry +
+    closures; residuals wrapped at the current estimate, which resolves the
+    2*pi ambiguity as long as per-edge errors are < pi).  Stage B solves the
+    exactly-linear position problem given headings.  The result lands in the
+    global basin for GN to polish.
+    """
+    t = g.nodes.shape[0]
+    if cg_iterations is None:
+        cg_iterations = max(60, t)
+    i, j = g.edges[:, 0], g.edges[:, 1]
+    em = g.edge_mask.astype(g.nodes.dtype)
+    anchor_weight = 1e6
+
+    # --- stage A: headings ---
+    theta = g.nodes[:, 2]
+    w_th = g.info[:, 2, 2] * em
+    r_th = wrap_angle(theta[j] - theta[i] - g.meas[:, 2]) * em
+    rhs = jnp.zeros((t,), g.nodes.dtype)
+    rhs = rhs.at[i].add(w_th * r_th)
+    rhs = rhs.at[j].add(-w_th * r_th)
+    dth = _incidence_cg(i, j, w_th, rhs, t, cg_iterations, anchor_weight)
+    theta = theta + dth
+
+    # --- stage B: positions (linear given headings) ---
+    c = jnp.cos(theta[i])
+    s = jnp.sin(theta[i])
+    d_e = jnp.stack(
+        [c * g.meas[:, 0] - s * g.meas[:, 1],
+         s * g.meas[:, 0] + c * g.meas[:, 1]],
+        axis=-1,
+    )
+    w_xy = g.info[:, 0, 0] * em
+    pos = g.nodes[:, :2]
+    r_xy = (pos[j] - pos[i] - d_e) * em[:, None]
+    rhs2 = jnp.zeros((t, 2), g.nodes.dtype)
+    rhs2 = rhs2.at[i].add(w_xy[:, None] * r_xy)
+    rhs2 = rhs2.at[j].add(-(w_xy[:, None] * r_xy))
+    dpos = _incidence_cg(i, j, w_xy, rhs2, t, cg_iterations, anchor_weight)
+
+    nodes = jnp.concatenate([pos + dpos, wrap_angle(theta)[:, None]], axis=-1)
+    nodes = jnp.where(g.node_mask[:, None], nodes, g.nodes)
+    return g._replace(nodes=nodes)
+
+
 def optimize(
     g: PoseGraph,
     *,
@@ -105,12 +188,21 @@ def optimize(
     cg_iterations: int = 50,
     damping: float = 1e-3,
     anchor_weight: float = 1e6,
+    chordal_init: bool = False,
 ) -> PoseGraph:
-    """Damped Gauss-Newton with matrix-free CG on the normal equations.
+    """Damped Gauss-Newton with matrix-free block-Jacobi-preconditioned CG.
 
     The anchor prior (information ``anchor_weight * I`` on node 0's current
     error against its initial value) removes the global SE(2) gauge freedom.
+    ``chordal_init`` runs the two-stage linear initialisation first —
+    required for badly drifted initial chains (dead reckoning), harmless
+    otherwise.  Three passes: the heading stage's residual wrapping updates
+    between passes (measured: pass 1 lands in the basin, pass 2 tightens,
+    pass 3 is a no-op safety margin).
     """
+    if chordal_init:
+        for _ in range(3):
+            g = chordal_initialize(g)
     t = g.nodes.shape[0]
     anchor0 = g.nodes[0]
 
@@ -132,6 +224,8 @@ def optimize(
         return out
 
     def gn_step(nodes, _):
+        from conan_slam_tpu.core.linalg import inv3
+
         r, a, b = _edge_residual_jacobians(nodes, g.edges, g.meas)
         omega = g.info
         omega_r = jnp.einsum("eab,eb->ea", omega, r)
@@ -143,22 +237,42 @@ def optimize(
         grad = grad.at[0].add(anchor_weight * (nodes[0] - anchor0))
         rhs = -grad
 
-        # Fixed-iteration CG on (J^T Omega J + lambda I) dx = rhs.
+        # Block-Jacobi preconditioner: the (3, 3) node-diagonal blocks of
+        # J^T Omega J + lambda I (+ anchor).  Mixed metre/radian information
+        # scales condition the unpreconditioned system terribly — with the
+        # preconditioner the CG iteration count is set by chain length, not
+        # by unit heterogeneity.
+        em = g.edge_mask[:, None, None].astype(nodes.dtype)
+        ata = em * jnp.einsum("eba,ebc,ecd->ead", a, omega, a)
+        btb = em * jnp.einsum("eba,ebc,ecd->ead", b, omega, b)
+        diag = jnp.zeros((t, 3, 3), nodes.dtype)
+        diag = diag.at[i].add(ata)
+        diag = diag.at[j].add(btb)
+        diag = diag + damping * jnp.eye(3, dtype=nodes.dtype)
+        diag = diag.at[0].add(anchor_weight * jnp.eye(3, dtype=nodes.dtype))
+        minv = inv3(diag)                                   # (T, 3, 3)
+
+        def prec(v):
+            return jnp.einsum("tab,tb->ta", minv, v)
+
+        # Fixed-iteration preconditioned CG on (J^T Omega J + lambda I) dx = rhs.
         def cg_step(carry, _):
-            x, res, p, rs = carry
+            x, res, p, rz = carry
             ap = hvp(nodes, a, b, omega, omega, p)
             denom = jnp.sum(p * ap)
-            alpha = jnp.where(denom > 0, rs / jnp.maximum(denom, 1e-30), 0.0)
+            alpha = jnp.where(denom > 0, rz / jnp.maximum(denom, 1e-30), 0.0)
             x = x + alpha * p
             res = res - alpha * ap
-            rs_new = jnp.sum(res * res)
-            beta = rs_new / jnp.maximum(rs, 1e-30)
-            p = res + beta * p
-            return (x, res, p, rs_new), None
+            z = prec(res)
+            rz_new = jnp.sum(res * z)
+            beta = rz_new / jnp.maximum(rz, 1e-30)
+            p = z + beta * p
+            return (x, res, p, rz_new), None
 
         x0 = jnp.zeros_like(nodes)
+        z0 = prec(rhs)
         (dx, _, _, _), _ = jax.lax.scan(
-            cg_step, (x0, rhs, rhs, jnp.sum(rhs * rhs)), None, length=cg_iterations
+            cg_step, (x0, rhs, z0, jnp.sum(rhs * z0)), None, length=cg_iterations
         )
         nodes_new = nodes + jnp.where(g.node_mask[:, None], dx, 0.0)
         nodes_new = nodes_new.at[:, 2].set(wrap_angle(nodes_new[:, 2]))

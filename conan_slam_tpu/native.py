@@ -17,8 +17,10 @@ import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "build", "libslam_baseline.so")
+_HOSTSIM_PATH = os.path.join(_NATIVE_DIR, "build", "libhostsim.so")
 
 _lib = None
+_hostsim = None
 
 
 def _load():
@@ -40,6 +42,82 @@ def _load():
     ]
     _lib = lib
     return lib
+
+
+def _load_hostsim():
+    global _hostsim
+    if _hostsim is not None:
+        return _hostsim
+    if not os.path.exists(_HOSTSIM_PATH):
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
+    lib = ctypes.CDLL(_HOSTSIM_PATH)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.rollout_truth_native.restype = None
+    lib.rollout_truth_native.argtypes = [
+        f32p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_int,
+        f32p, f32p, u8p, u8p,
+    ]
+    lib.rollout_observations_native.restype = None
+    lib.rollout_observations_native.argtypes = [
+        f32p, ctypes.c_int, ctypes.c_int,
+        f32p, ctypes.c_int, ctypes.c_float, ctypes.c_int,
+        f32p, i32p, u8p,
+    ]
+    _hostsim = lib
+    return lib
+
+
+def rollout_truth_native(waypoints: np.ndarray, cfg, n_steps: int):
+    """Native truth rollout; see sim.precompute.rollout_truth for semantics.
+
+    Returns (x_true (T,3) f32, swa (T,) f32, active (T,) bool, done (T,) bool).
+    """
+    lib = _load_hostsim()
+    wp = np.ascontiguousarray(waypoints, dtype=np.float32)
+    x_true = np.empty((n_steps, 3), np.float32)
+    swa = np.empty((n_steps,), np.float32)
+    active = np.empty((n_steps,), np.uint8)
+    done = np.empty((n_steps,), np.uint8)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.rollout_truth_native(
+        wp.ctypes.data_as(f32p), wp.shape[0], n_steps,
+        np.float32(cfg.dt_controls), np.float32(cfg.velocity),
+        np.float32(cfg.wheel_base),
+        np.float32(cfg.rate_swa * cfg.dt_controls), np.float32(cfg.max_swa),
+        np.float32(cfg.at_waypoint) ** 2, int(cfg.number_loops),
+        x_true.ctypes.data_as(f32p), swa.ctypes.data_as(f32p),
+        active.ctypes.data_as(u8p), done.ctypes.data_as(u8p),
+    )
+    return x_true, swa, active.astype(bool), done.astype(bool)
+
+
+def rollout_observations_native(
+    x_true: np.ndarray, landmarks: np.ndarray, max_range: float,
+    nz: int, interval: int,
+):
+    """Native observation rollout; see sim.precompute.rollout_observations."""
+    lib = _load_hostsim()
+    xt = np.ascontiguousarray(x_true, dtype=np.float32)
+    lm = np.ascontiguousarray(landmarks, dtype=np.float32)
+    n_steps = xt.shape[0]
+    n_frames = n_steps // interval
+    z = np.empty((n_frames, nz, 2), np.float32)
+    ids = np.empty((n_frames, nz), np.int32)
+    mask = np.empty((n_frames, nz), np.uint8)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.rollout_observations_native(
+        xt.ctypes.data_as(f32p), n_steps, interval,
+        lm.ctypes.data_as(f32p), lm.shape[0], np.float32(max_range), nz,
+        z.ctypes.data_as(f32p),
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return z, ids, mask.astype(bool)
 
 
 class BaselineResult(NamedTuple):

@@ -57,6 +57,29 @@ def aligned_ate_rmse(x_true, x_est, valid=None):
     return jnp.sqrt(jnp.sum(err2 * w) / wsum)
 
 
+def rpe_rmse(x_true, x_est, delta: int, valid=None):
+    """Relative pose error (translational RMSE) over a horizon of ``delta``
+    steps: || (p_est[t+d] - p_est[t]) rotated into est frame t  minus the
+    same relative motion of the truth ||.
+
+    The standard drift metric: unlike ATE it is invariant to the global
+    gauge (rotation/translation), so it isolates the *internal* trajectory
+    consistency that pose-graph relaxation acts on.
+    """
+    def rel(x):
+        c = jnp.cos(x[:-delta, 2])
+        s = jnp.sin(x[:-delta, 2])
+        d = x[delta:, :2] - x[:-delta, :2]
+        return jnp.stack([c * d[:, 0] + s * d[:, 1],
+                          -s * d[:, 0] + c * d[:, 1]], axis=-1)
+
+    err2 = jnp.sum((rel(x_true) - rel(x_est)) ** 2, axis=-1)
+    if valid is None:
+        return jnp.sqrt(jnp.mean(err2))
+    w = jnp.logical_and(valid[:-delta], valid[delta:]).astype(err2.dtype)
+    return jnp.sqrt(jnp.sum(err2 * w) / jnp.maximum(jnp.sum(w), 1.0))
+
+
 def heading_rmse(x_true, x_est, valid=None):
     err2 = wrap_angle(x_true[:, 2] - x_est[:, 2]) ** 2
     if valid is None:

@@ -34,7 +34,20 @@ def _wrap(a: np.float32) -> np.float32:
                                    np.float32(2 * np.pi)) - np.float32(np.pi))
 
 
-def rollout_truth(waypoints: np.ndarray, cfg: SlamConfig, n_steps: int) -> TruthRollout:
+def rollout_truth(
+    waypoints: np.ndarray, cfg: SlamConfig, n_steps: int, use_native: bool = True
+) -> TruthRollout:
+    if use_native:
+        # Native C++ rollout (native/hostsim.cpp): same float32 arithmetic,
+        # ~50x the Python loop.  Fall back silently if the toolchain is
+        # unavailable (parity validated in tests/test_sim.py).
+        try:
+            from conan_slam_tpu.native import rollout_truth_native
+
+            x_true, swa, active, done = rollout_truth_native(waypoints, cfg, n_steps)
+            return TruthRollout(x_true=x_true, swa=swa, active=active, done=done)
+        except Exception:
+            pass
     wp = np.asarray(waypoints, np.float32)
     n_wp = wp.shape[0]
     dt = np.float32(cfg.dt_controls)
@@ -107,7 +120,7 @@ class ObsRollout(NamedTuple):
 
 def rollout_observations(
     x_true: np.ndarray, landmarks: np.ndarray, max_range: float,
-    nz: int, interval: int,
+    nz: int, interval: int, use_native: bool = True,
 ) -> ObsRollout:
     """Noiseless sensor returns at each frame end, precomputed on the host.
 
@@ -117,6 +130,16 @@ def rollout_observations(
     and adds measurement noise — no per-frame visibility/compaction kernels
     on device.  Truth is deterministic, so this moves zero filter work.
     """
+    if use_native:
+        try:
+            from conan_slam_tpu.native import rollout_observations_native
+
+            z, ids, mask = rollout_observations_native(
+                x_true, landmarks, max_range, nz, interval
+            )
+            return ObsRollout(z_true=z, ids=ids, mask=mask)
+        except Exception:
+            pass
     lm = np.asarray(landmarks, np.float32)                # (L, 2)
     poses = np.asarray(x_true, np.float32)[interval - 1 :: interval]  # (F, 3)
     n_frames = poses.shape[0]

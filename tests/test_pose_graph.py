@@ -120,6 +120,54 @@ def test_optimize_respects_masks():
     )
 
 
+def test_dead_reckoned_valet_chain_recovers_with_closures():
+    """Config-4 regime end-to-end: dead-reckoned keyframe odometry on the
+    return-home valet tour drifts without bound; closures + relaxation must
+    recover the trajectory shape (aligned ATE drops several-fold)."""
+    import jax
+    import jax.numpy as jnp
+
+    from conan_slam_tpu.config import SlamConfig
+    from conan_slam_tpu.graph.frontend import ClosureConfig, simulate_odometry_graph
+    from conan_slam_tpu.runner import metrics
+    from conan_slam_tpu.sim.precompute import rollout_truth
+    from conan_slam_tpu.sim.world import default_world
+
+    del default_world  # star-polygon tour: the path self-intersects many
+    # times (transverse crossings), the geometry loop closure needs — a
+    # single-revisit tour caps recovery at ~2.7x (closures only constrain
+    # the revisit site; mid-chain wander is genuinely unobservable).
+    r_c = 4000.0
+    ang = np.arange(8) * 2 * np.pi / 8
+    pts = np.stack([r_c * np.cos(ang), r_c * np.sin(ang)], axis=1)
+    order = [(3 * i) % 8 for i in range(8)] + [0]
+    wp = np.concatenate([np.zeros((1, 2), np.float32), pts[order]]).astype(np.float32)
+    cfg = SlamConfig()
+    n = 60000
+    roll = rollout_truth(wp, cfg, n)
+    truth = jnp.asarray(roll.x_true)
+    valid = jnp.asarray(~roll.done)
+
+    ccfg = ClosureConfig(odo_sigma_xy=0.5, odo_sigma_th=0.01,
+                         max_closures=256, min_index_gap=60)
+    g = simulate_odometry_graph(truth, valid, ccfg, jax.random.PRNGKey(0))
+    g_opt = pg.optimize(
+        g, iterations=15, cg_iterations=g.nodes.shape[0], chordal_init=True
+    )
+
+    stride = ccfg.keyframe_stride
+    kf_true = truth[::stride][: g.nodes.shape[0]]
+    kf_valid = valid[::stride][: g.nodes.shape[0]]
+
+    def ate(nodes):
+        return float(metrics.aligned_ate_rmse(kf_true, nodes, kf_valid))
+
+    before, after = ate(g.nodes), ate(g_opt.nodes)
+    assert before > 20.0, before          # dead reckoning really drifts
+    assert after < 0.35 * before, (before, after)
+    assert float(pg.graph_error(g_opt)) < float(pg.graph_error(g))
+
+
 def test_detect_loop_closures_finds_revisit():
     # Trajectory that returns to the start.
     n = 30

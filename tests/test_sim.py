@@ -95,6 +95,42 @@ def test_precomputed_runner_matches_frame_scan_noise_free():
     assert float(ate_b) < 0.1, float(ate_b)
 
 
+def test_native_rollout_matches_python():
+    """native/hostsim.cpp mirrors the Python float32 rollout (libm ulp-level
+    accumulation differences only); skip when no toolchain."""
+    from conan_slam_tpu.sim.precompute import rollout_observations
+
+    try:
+        from conan_slam_tpu.native import rollout_truth_native  # noqa: F401
+        import conan_slam_tpu.native as native_mod
+
+        native_mod._load_hostsim()
+    except Exception:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+
+    world = default_world()
+    cfg = SlamConfig()
+    n = 6000
+    rp = rollout_truth(np.asarray(world.waypoints), cfg, n, use_native=False)
+    rn = rollout_truth(np.asarray(world.waypoints), cfg, n, use_native=True)
+    np.testing.assert_allclose(rn.x_true, rp.x_true, atol=2e-3)
+    np.testing.assert_allclose(rn.swa, rp.swa, atol=1e-4)
+    np.testing.assert_array_equal(rn.done, rp.done)
+    np.testing.assert_array_equal(rn.active, rp.active)
+
+    interval = cfg.observe_interval
+    nsteps = (n // interval) * interval
+    op = rollout_observations(rp.x_true[:nsteps], np.asarray(world.landmarks),
+                              cfg.max_range, 30, interval, use_native=False)
+    on = rollout_observations(rp.x_true[:nsteps], np.asarray(world.landmarks),
+                              cfg.max_range, 30, interval, use_native=True)
+    np.testing.assert_array_equal(on.ids, op.ids)
+    np.testing.assert_array_equal(on.mask, op.mask)
+    np.testing.assert_allclose(on.z_true, op.z_true, atol=2e-3)
+
+
 def test_rollout_completes_course_with_loops():
     world = default_world()
     roll1 = rollout_truth(np.asarray(world.waypoints), SlamConfig(), 25000)
