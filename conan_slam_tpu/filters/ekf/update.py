@@ -100,8 +100,8 @@ def fused_frame_update(
     from conan_slam_tpu.core.linalg import PRECISION, sym
     from conan_slam_tpu.models import sensor
     from conan_slam_tpu.ops.pallas_update import (
-        rank_update_downdate,
-        rank_update_downdate_reference,
+        rank_update_t,
+        rank_update_t_reference,
     )
     from conan_slam_tpu.ops.spd_inverse import spd_inverse
 
@@ -155,14 +155,16 @@ def fused_frame_update(
     x = x.at[2].set(wrap_angle(x[2]))
 
     # P <- P + [V PHT] [[B, 0], [0, -S^-1]] [V PHT]^T in one fused pass.
+    # The factor strips stay ROW-major (phtT is already (2NZ, D)); only the
+    # small (r, D) vmat transpose is materialised.
     nb = bmat.shape[0]
     m = s.shape[0]
-    vbig = jnp.concatenate([vmat, phtT.T], axis=1)               # (D, nb+2NZ)
+    vt = jnp.concatenate([vmat.T, phtT], axis=0)                 # (nb+2NZ, D)
     bbig = jnp.zeros((nb + m, nb + m), dtype=bmat.dtype)
     bbig = bbig.at[:nb, :nb].set(bmat)
     bbig = bbig.at[nb:, nb:].set(-si)
-    apply = rank_update_downdate if use_pallas else rank_update_downdate_reference
-    p = apply(state.p, vbig, bbig)
+    apply = rank_update_t if use_pallas else rank_update_t_reference
+    p = apply(state.p, vt, bbig)
     new_state = state._replace(x=x, p=p)
     if return_nis:
         # v^T S^-1 v: the stacked NIS, normalised per associated measurement

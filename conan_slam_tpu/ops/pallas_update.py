@@ -47,6 +47,90 @@ def rank_update_downdate_reference(p, v, b, w1=None):
     return out
 
 
+def rank_update_t_reference(p, vt, b):
+    """jnp reference: P + Vt^T B Vt for row-major factor strips Vt (r, D)."""
+    return p + jnp.matmul(
+        vt.T, jnp.matmul(b, vt, precision=PRECISION), precision=PRECISION
+    )
+
+
+def rank_update_t(p, vt, b, *, interpret: bool = False):
+    """Fused P + Vt^T B Vt with the factors given as ROW strips Vt (r, D).
+
+    The fused measurement update produces its factor strips row-major
+    (phtT = H P is a row gather of the symmetric P); this entry point
+    consumes them directly — no (D, r) concatenation or D-sized transposes.
+    vbT = B Vt is one small MXU matmul; each (tr, D) output panel is then
+    p_panel + Vt[:, panel]^T vbT with the strips resident in VMEM.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if not interpret and jax.default_backend() not in ("tpu", "axon"):
+        return rank_update_t_reference(p, vt, b)
+
+    d = p.shape[0]
+    vbt = jnp.matmul(b, vt, precision=PRECISION)            # (r, D)
+    rm = _round_up(vt.shape[0], 8)
+    if rm != vt.shape[0]:
+        pad = rm - vt.shape[0]
+        vt = jnp.pad(vt, ((0, pad), (0, 0)))
+        vbt = jnp.pad(vbt, ((0, pad), (0, 0)))
+
+    cost = pl.CostEstimate(
+        flops=2 * d * d * rm,
+        bytes_accessed=2 * d * d * 4 + 2 * d * rm * 4,
+        transcendentals=0,
+    )
+
+    def kernel(p_ref, vt_ref, vbt_ref, out_ref):
+        out_ref[:, :] = p_ref[:, :] + jax.lax.dot_general(
+            vt_ref[:, :], vbt_ref[:, :],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if d % 128 == 0:
+        budget = 12 * 2**20
+        for tr in (512, 256, 128):
+            if d % tr:
+                continue
+            need = (4 * tr * d + tr * rm + rm * d) * 4
+            if need <= budget:
+                return pl.pallas_call(
+                    kernel,
+                    out_shape=jax.ShapeDtypeStruct((d, d), p.dtype),
+                    grid=(d // tr,),
+                    in_specs=[
+                        pl.BlockSpec((tr, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                        pl.BlockSpec((rm, tr), lambda i: (0, i), memory_space=pltpu.VMEM),
+                        pl.BlockSpec((rm, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    ],
+                    out_specs=pl.BlockSpec(
+                        (tr, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+                    ),
+                    cost_estimate=cost,
+                    interpret=interpret,
+                )(p, vt, vbt)
+
+    t = _pick_tile(d)
+    if t == 0:
+        t = 256
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((d, d), p.dtype),
+        grid=(pl.cdiv(d, t), pl.cdiv(d, t)),
+        in_specs=[
+            pl.BlockSpec((t, t), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rm, t), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rm, t), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((t, t), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(p, vt, vbt)
+
+
 def rank_update_downdate(p, v, b, w1=None, *, interpret: bool = False):
     """Fused P + V B V^T [- W1 W1^T] on TPU via Pallas.
 

@@ -44,6 +44,23 @@ def test_rank_update_no_downdate_strip():
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-3)
 
 
+def test_rank_update_t_row_strips():
+    from conan_slam_tpu.ops.pallas_update import rank_update_t
+
+    rng = np.random.default_rng(5)
+    for d in (256, 128):
+        rm = 30
+        p = rng.normal(size=(d, d)).astype(np.float32)
+        p = p @ p.T
+        vt = rng.normal(size=(rm, d)).astype(np.float32)
+        b = rng.normal(size=(rm, rm)).astype(np.float32)
+        b = 0.5 * (b + b.T)
+        out = rank_update_t(jnp.asarray(p), jnp.asarray(vt), jnp.asarray(b),
+                            interpret=True)
+        ref = p + vt.T @ b @ vt
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-2)
+
+
 def test_spd_inverse_sweep_kernel():
     from conan_slam_tpu.ops.spd_inverse import spd_inverse
 
