@@ -23,8 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-N_LANDMARKS = 1024
-BENCH_STEPS = 2400
+N_LANDMARKS = int(os.environ.get("FS_LANDMARKS", "1024"))
+BENCH_STEPS = int(os.environ.get("FS_STEPS", "2400"))
 SEED = 42
 SIGMA0 = 1.0
 
@@ -123,6 +123,43 @@ def main(modes):
         x = state.x + 1e-20 * (w1t.T @ lv)
         return state._replace(x=x), x[0]
 
+    def make_mega_inputs():
+        import jax.numpy as jnp
+        d = state0.x.shape[0]
+        nb = 20
+        mp = -(-2 * nz // 128) * 128
+        slots = jnp.arange(nz, dtype=jnp.int32)
+        rows2 = (3 + 2 * slots[:, None] + jnp.arange(2)[None, :]).reshape(-1)
+        rows131 = jnp.concatenate([jnp.arange(3, dtype=jnp.int32), rows2])
+        hc = jnp.asarray(rng.normal(size=(mp, 3 + 2 * nz)).astype(np.float32) * 0.1)
+        bmat = jnp.eye(nb, dtype=jnp.float32) * 1e-6
+        vtf = jnp.asarray(rng.normal(size=(nb, d)).astype(np.float32) * 1e-4)
+        rmat = jnp.eye(mp, dtype=jnp.float32)
+        vpad = jnp.zeros((mp,), jnp.float32)
+        return rows131, hc, bmat, vtf, rmat, vpad
+
+    def megachain_step(carry, _):
+        from conan_slam_tpu.ops.frame_kernel import measurement_chain
+        from conan_slam_tpu.ops.pallas_update import rank_update_t2
+        state, rows131, hc, bmat, vtf, rmat, vpad = carry
+        chain = measurement_chain(state.p, rows131, hc, bmat, vtf, rmat, vpad)
+        p = rank_update_t2(state.p, vtf, chain.bvt, chain.pht, chain.nsipht)
+        return (state._replace(p=p), rows131, hc, bmat, vtf, rmat, vpad), chain.nis
+
+    def megaonly_step(carry, _):
+        from conan_slam_tpu.ops.frame_kernel import measurement_chain
+        state, rows131, hc, bmat, vtf, rmat, vpad = carry
+        chain = measurement_chain(state.p, rows131, hc, bmat, vtf, rmat, vpad)
+        state = state._replace(x=state.x + 1e-20 * chain.dx)
+        return (state, rows131, hc, bmat, vtf, rmat, vpad), chain.nis
+
+    def gather_step(carry, _):
+        import jax.numpy as jnp
+        state, rows131, hc, bmat, vtf, rmat, vpad = carry
+        prows = state.p[rows131]
+        state = state._replace(x=state.x + 1e-20 * prows[0])
+        return (state, rows131, hc, bmat, vtf, rmat, vpad), prows[0, 0]
+
     def noop_step(carry, _):
         s, acc = carry
         acc = acc + s[0, 0] * 1e-12
@@ -200,6 +237,16 @@ def main(modes):
 
     if "smallchain" in modes:
         timeit("smallchain", run_scan(smallchain_step, state0, frames), state0, frames)
+
+    if {"megachain", "megaonly", "gather"} & set(modes):
+        carry0 = (state0,) + make_mega_inputs()
+        dummy = jnp.zeros((n_frames,), jnp.float32)
+        if "megachain" in modes:
+            timeit("megachain", run_scan(megachain_step, carry0, dummy), carry0, dummy)
+        if "megaonly" in modes:
+            timeit("megaonly", run_scan(megaonly_step, carry0, dummy), carry0, dummy)
+        if "gather" in modes:
+            timeit("gather", run_scan(gather_step, carry0, dummy), carry0, dummy)
 
     if "chol" in modes or "sweep" in modes or "noop" in modes:
         m = 2 * nz

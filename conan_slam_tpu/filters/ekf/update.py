@@ -67,6 +67,7 @@ def update(state: EKFState, obs: CompactObs, slots, mask, r_cov, batch: bool) ->
 def fused_frame_update(
     state: EKFState, vmat, bmat, obs: CompactObs, slots, mask, r_cov,
     *, use_pallas: bool = True, return_nis: bool = False,
+    interpret: bool = False,
 ):
     """Frame-factored batch update: ONE rewrite of P per observation frame.
 
@@ -118,6 +119,60 @@ def fused_frame_update(
     v = jnp.where(mask[:, None], v, 0.0).reshape(2 * nz)
 
     rows2 = (3 + 2 * safe[:, None] + jnp.arange(2)[None, :]).reshape(-1)
+
+    # --- megakernel path: the whole chain below as ONE Pallas dispatch ---
+    nb = bmat.shape[0]
+    mp = -(-2 * nz // 128) * 128
+    rp = -(-(3 + 2 * nz) // 8) * 8
+    vmem_est = d * (2 * rp + 2 * mp + nb + 8) * 4
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if (
+        use_pallas
+        and (on_tpu or interpret)
+        and d % 128 == 0
+        and vmem_est <= 10 * 2**20
+    ):
+        from conan_slam_tpu.ops.frame_kernel import measurement_chain
+        from conan_slam_tpu.ops.pallas_update import rank_update_t2
+
+        hv2 = hv.reshape(2 * nz, 3)
+        rows131 = jnp.concatenate([jnp.arange(3, dtype=rows2.dtype), rows2])
+        # Block-diagonal expansions as ONE broadcast-multiply against an
+        # identity (scatter-free: TPU scatters serialise per index).
+        eyen = jnp.eye(nz, dtype=state.p.dtype)
+        bd = (hf.reshape(nz, 2, 1, 2) * eyen[:, None, :, None]).reshape(
+            2 * nz, 2 * nz
+        )
+        hc = jnp.pad(
+            jnp.concatenate([hv2, bd], axis=1), ((0, mp - 2 * nz), (0, 0))
+        )
+        eye2 = jnp.eye(2, dtype=state.p.dtype)
+        rblocks = jnp.where(mask[:, None, None], r_cov, eye2)
+        rbd = (rblocks.reshape(nz, 2, 1, 2) * eyen[:, None, :, None]).reshape(
+            2 * nz, 2 * nz
+        )
+        iota = jnp.arange(mp)
+        pad_eye = jnp.logical_and(iota[:, None] == iota[None, :], iota >= 2 * nz)
+        rmat = jnp.pad(rbd, ((0, mp - 2 * nz), (0, mp - 2 * nz))) + pad_eye.astype(
+            state.p.dtype
+        )
+        vpad = jnp.pad(v, (0, mp - 2 * nz))
+
+        chain = measurement_chain(
+            state.p, rows131, hc, bmat, vmat.T, rmat, vpad,
+            interpret=interpret,
+        )
+        x = state.x + chain.dx
+        x = x.at[2].set(wrap_angle(x[2]))
+        p = rank_update_t2(
+            state.p, vmat.T, chain.bvt, chain.pht, chain.nsipht,
+            interpret=interpret,
+        )
+        new_state = state._replace(x=x, p=p)
+        if return_nis:
+            n_meas = jnp.maximum(jnp.sum(mask.astype(v.dtype)), 1.0)
+            return new_state, chain.nis / n_meas
+        return new_state
 
     # --- phtT = H (P + V B V^T) as (2NZ, D) row strips ---
     prow_pose = state.p[:3, :]                                   # (3, D)

@@ -30,8 +30,12 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def _sweep_kernel(s_ref, out_ref):
+def sweep_ref_inverse(out_ref):
     """In-place symmetric Gauss-Jordan with 2x2 pivot blocks.
+
+    On entry ``out_ref`` (VMEM, (mp, mp), mp even) holds a (scaled) SPD
+    matrix; on exit it holds the inverse.  Reusable from other Pallas
+    kernels (ops.frame_kernel embeds it in the fused measurement chain).
 
     One sweep of pivot block E (rows/cols 2k, 2k+1), C = A[:, blk]:
         A   <- A - C E^-1 C^T          (zeroes the pivot rows/columns)
@@ -41,11 +45,10 @@ def _sweep_kernel(s_ref, out_ref):
     the 2x2 block is extracted with masked lane-reduces — no dynamic lane
     slicing inside the loop.  The accumulator lives in the VMEM out_ref.
     """
-    mp = s_ref.shape[0]
+    mp = out_ref.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, mp), 1)
     i2 = jax.lax.broadcasted_iota(jnp.int32, (mp, mp), 0)
     j2 = jax.lax.broadcasted_iota(jnp.int32, (mp, mp), 1)
-    out_ref[:, :] = s_ref[:, :]
 
     def body(k, _):
         k0 = 2 * k
@@ -88,6 +91,11 @@ def _sweep_kernel(s_ref, out_ref):
 
     jax.lax.fori_loop(0, mp // 2, body, 0)
     out_ref[:, :] = -out_ref[:, :]
+
+
+def _sweep_kernel(s_ref, out_ref):
+    out_ref[:, :] = s_ref[:, :]
+    sweep_ref_inverse(out_ref)
 
 
 def _sweep_pallas(shat, *, interpret: bool):

@@ -103,6 +103,99 @@ def test_spd_inverse_guard_degrades_gracefully():
     np.testing.assert_array_equal(out, np.zeros((8, 8), np.float32))
 
 
+def test_rank_update_t2_two_strip_pairs():
+    from conan_slam_tpu.ops.pallas_update import (
+        rank_update_t2,
+        rank_update_t2_reference,
+    )
+
+    rng = np.random.default_rng(11)
+    d, r1, r2 = 256, 20, 100   # non-multiple-of-8 ranks exercise padding
+    p = rng.normal(size=(d, d)).astype(np.float32)
+    p = p @ p.T
+    vt1 = rng.normal(size=(r1, d)).astype(np.float32)
+    vbt1 = rng.normal(size=(r1, d)).astype(np.float32)
+    vt2 = rng.normal(size=(r2, d)).astype(np.float32)
+    vbt2 = rng.normal(size=(r2, d)).astype(np.float32)
+    out = rank_update_t2(
+        jnp.asarray(p), jnp.asarray(vt1), jnp.asarray(vbt1),
+        jnp.asarray(vt2), jnp.asarray(vbt2), interpret=True,
+    )
+    ref = rank_update_t2_reference(p, vt1, vbt1, vt2, vbt2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-2)
+
+
+def _mega_setup(seed=13, capacity=100, nz=10, nb=12):
+    """A realistic fused-frame-update problem with D % 128 == 0."""
+    from conan_slam_tpu.filters import ekf as ekf_mod
+    from conan_slam_tpu.filters.common import CompactObs
+
+    rng = np.random.default_rng(seed)
+    lm = rng.uniform(-50, 50, size=(capacity, 2)).astype(np.float32)
+    state = ekf_mod.init_state_with_map(lm, sigma0=0.5, pad_multiple=128)
+    d = state.x.shape[0]
+    assert d % 128 == 0
+    # Correlated covariance: P = A A^T scaled down + the init diag.
+    a = rng.normal(size=(d, 8)).astype(np.float32) * 0.05
+    state = state._replace(p=state.p + jnp.asarray(a @ a.T))
+    ids = rng.choice(capacity, size=nz, replace=False).astype(np.int32)
+    z = np.stack(
+        [
+            np.hypot(lm[ids, 0], lm[ids, 1]) + rng.normal(size=nz) * 0.1,
+            np.arctan2(lm[ids, 1], lm[ids, 0]) + rng.normal(size=nz) * 0.01,
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    mask = np.ones(nz, bool)
+    mask[-2] = False
+    obs = CompactObs(z=jnp.asarray(z), ids=jnp.asarray(ids), mask=jnp.asarray(mask))
+    slots = jnp.asarray(ids)   # identity table in init_state_with_map
+    vmat = jnp.asarray(rng.normal(size=(d, nb)).astype(np.float32) * 0.01)
+    b = rng.normal(size=(nb, nb)).astype(np.float32) * 0.1
+    bmat = jnp.asarray(0.5 * (b + b.T))
+    r_cov = jnp.diag(jnp.asarray([0.1**2, 0.5 * np.pi / 180], jnp.float32) ** 1)
+    return state, vmat, bmat, obs, slots, jnp.asarray(mask), r_cov
+
+
+def test_fused_frame_update_megakernel_matches_ops_path():
+    from conan_slam_tpu.filters.ekf.update import fused_frame_update
+
+    state, vmat, bmat, obs, slots, mask, r_cov = _mega_setup()
+    ref_state, ref_nis = fused_frame_update(
+        state, vmat, bmat, obs, slots, mask, r_cov,
+        use_pallas=False, return_nis=True,
+    )
+    mega_state, mega_nis = fused_frame_update(
+        state, vmat, bmat, obs, slots, mask, r_cov,
+        use_pallas=True, return_nis=True, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(mega_state.x), np.asarray(ref_state.x), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(mega_state.p), np.asarray(ref_state.p), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(mega_nis), float(ref_nis), rtol=1e-3, atol=1e-5
+    )
+
+
+def test_fused_frame_update_megakernel_all_masked():
+    # A frame with no associated measurements degenerates to the factored
+    # correction alone (P + V B V^T), mean unchanged.
+    from conan_slam_tpu.filters.ekf.update import fused_frame_update
+
+    state, vmat, bmat, obs, slots, mask, r_cov = _mega_setup(seed=17)
+    mask = jnp.zeros_like(mask)
+    out, _ = fused_frame_update(
+        state, vmat, bmat, obs, slots, mask, r_cov,
+        use_pallas=True, return_nis=True, interpret=True,
+    )
+    ref_p = state.p + vmat @ bmat @ vmat.T
+    np.testing.assert_allclose(np.asarray(out.x), np.asarray(state.x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.p), np.asarray(ref_p), rtol=1e-3, atol=1e-4)
+
+
 def test_rank_update_downdate_non_tileable_falls_back():
     rng = np.random.default_rng(1)
     d, r, m = 67, 4, 8   # not a multiple of 128 -> jnp fallback path
