@@ -67,7 +67,7 @@ def update(state: EKFState, obs: CompactObs, slots, mask, r_cov, batch: bool) ->
 def fused_frame_update(
     state: EKFState, vmat, bmat, obs: CompactObs, slots, mask, r_cov,
     *, use_pallas: bool = True, return_nis: bool = False,
-    interpret: bool = False,
+    interpret: bool = False, vtf=None,
 ):
     """Frame-factored batch update: ONE rewrite of P per observation frame.
 
@@ -109,6 +109,11 @@ def fused_frame_update(
     d = state.x.shape[0]
     nz = obs.z.shape[0]
     cap = state.capacity
+    if bmat is None:
+        # Degenerate frame factors (plain measurement-only update).
+        bmat = jnp.zeros((8, 8), dtype=state.p.dtype)
+        vtf = jnp.zeros((8, d), dtype=state.p.dtype)
+        vmat = None
     safe = jnp.clip(slots, 0, cap - 1)
     xf = state.features[safe]                                    # (NZ, 2)
     zp, hv, hf = sensor.observe(state.pose, xf)
@@ -157,15 +162,16 @@ def fused_frame_update(
             state.p.dtype
         )
         vpad = jnp.pad(v, (0, mp - 2 * nz))
+        vtf_use = vmat.T if vtf is None else vtf
 
         chain = measurement_chain(
-            state.p, rows131, hc, bmat, vmat.T, rmat, vpad,
+            state.p, rows131, hc, bmat, vtf_use, rmat, vpad,
             interpret=interpret,
         )
         x = state.x + chain.dx
         x = x.at[2].set(wrap_angle(x[2]))
         p = rank_update_t2(
-            state.p, vmat.T, chain.bvt, chain.pht, chain.nsipht,
+            state.p, vtf_use, chain.bvt, chain.pht, chain.nsipht,
             interpret=interpret,
         )
         new_state = state._replace(x=x, p=p)
@@ -175,6 +181,8 @@ def fused_frame_update(
         return new_state
 
     # --- phtT = H (P + V B V^T) as (2NZ, D) row strips ---
+    if vmat is None:
+        vmat = vtf.T
     prow_pose = state.p[:3, :]                                   # (3, D)
     prow_slot = state.p[rows2, :].reshape(nz, 2, d)              # row gather
     hv2 = hv.reshape(2 * nz, 3)

@@ -158,7 +158,9 @@ def ekf_precomp_frame_step(state, frame, *, cfg: SlamConfig, world: World, noise
         vns = jnp.full_like(swa_f, cfg.velocity)
         swans = swa_f
 
-    state, pose_trace, vmat, bmat = ekf_mod.frame_factors(
+    from conan_slam_tpu.ops.factor_kernel import frame_factors_fused
+
+    state, pose_trace, vtf, bmat = frame_factors_fused(
         state, vns, swans, x_true_f[:, 2], active_f,
         noise.qe, cfg.wheel_base, cfg.dt_controls, cfg.sigma_heading,
         cfg.switch_heading_known,
@@ -179,12 +181,13 @@ def ekf_precomp_frame_step(state, frame, *, cfg: SlamConfig, world: World, noise
         assoc = ekf_mod.associate_known(state, obs)
     else:
         assoc = ekf_mod.associate_gated(
-            state, obs, noise.re, cfg.gate_reject, cfg.gate_augment, vmat, bmat
+            state, obs, noise.re, cfg.gate_reject, cfg.gate_augment,
+            vtf.T, bmat,
         )
     state, frame_nis = ekf_mod.fused_frame_update(
-        state, vmat, bmat, obs, assoc.slots,
+        state, None, bmat, obs, assoc.slots,
         jnp.logical_and(assoc.known_mask, live), noise.re,
-        return_nis=True,
+        return_nis=True, vtf=vtf,
     )
     new_mask = jnp.logical_and(assoc.new_mask, live)
     state = jax.lax.cond(
@@ -403,7 +406,9 @@ def ekf_frame_step(carry: EKFSimCarry, _, *, cfg: SlamConfig, world: World, nois
             # P is rewritten exactly once per frame: the frame's factored
             # predict+heading correction folds into the measurement update
             # (filters.ekf.update.fused_frame_update).
-            state, pose_trace, vmat, bmat = ekf_mod.frame_factors(state, *frame_args)
+            from conan_slam_tpu.ops.factor_kernel import frame_factors_fused
+
+            state, pose_trace, vtf, bmat = frame_factors_fused(state, *frame_args)
         else:
             state, pose_trace = ekf_mod.frame_predict_heading(
                 state, *frame_args, return_pose_trace=True
@@ -451,12 +456,12 @@ def ekf_frame_step(carry: EKFSimCarry, _, *, cfg: SlamConfig, world: World, nois
             # materialised path without rewriting P.
             assoc = ekf_mod.associate_gated(
                 state, obs, noise.re, cfg.gate_reject, cfg.gate_augment,
-                vmat, bmat,
+                vtf.T, bmat,
             )
         state, frame_nis = ekf_mod.fused_frame_update(
-            state, vmat, bmat, obs, assoc.slots,
+            state, None, bmat, obs, assoc.slots,
             jnp.logical_and(assoc.known_mask, live), noise.re,
-            return_nis=True,
+            return_nis=True, vtf=vtf,
         )
         new_mask = jnp.logical_and(assoc.new_mask, live)
         state = jax.lax.cond(

@@ -196,6 +196,45 @@ def test_fused_frame_update_megakernel_all_masked():
     np.testing.assert_allclose(np.asarray(out.p), np.asarray(ref_p), rtol=1e-3, atol=1e-4)
 
 
+def test_frame_factor_kernel_matches_fastframe():
+    from conan_slam_tpu.filters.ekf.fastframe import frame_factors
+    from conan_slam_tpu.ops.factor_kernel import frame_factors_fused
+
+    for use_heading, seed in ((True, 23), (False, 29)):
+        state, *_ = _mega_setup(seed=seed)
+        rng = np.random.default_rng(seed)
+        s = 6
+        vns = jnp.asarray(83.33 + rng.normal(size=s).astype(np.float32) * 0.3)
+        swans = jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.2)
+        phis = jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.5)
+        active = jnp.asarray(np.array([1, 1, 1, 1, 1, 0], bool))
+        q = jnp.diag(jnp.asarray([0.3**2, (np.pi / 180) ** 2], jnp.float32))
+        args = (vns, swans, phis, active, q, 73.0, 0.01, 0.01 * np.pi / 180)
+
+        ref_state, ref_pt, ref_vmat, ref_bmat = frame_factors(
+            state, *args, use_heading
+        )
+        out_state, out_pt, vtf, bm = frame_factors_fused(
+            state, *args, use_heading, interpret=True
+        )
+        nb = ref_bmat.shape[0]
+        np.testing.assert_allclose(
+            np.asarray(out_state.x), np.asarray(ref_state.x), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_pt), np.asarray(ref_pt), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(vtf[:nb]), np.asarray(ref_vmat.T), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(bm[:nb, :nb]), np.asarray(ref_bmat), rtol=1e-5, atol=1e-6
+        )
+        # Padding rows must be exactly zero.
+        np.testing.assert_array_equal(np.asarray(vtf[nb:]), 0.0)
+        np.testing.assert_array_equal(np.asarray(bm[nb:, :]), 0.0)
+
+
 def test_rank_update_downdate_non_tileable_falls_back():
     rng = np.random.default_rng(1)
     d, r, m = 67, 4, 8   # not a multiple of 128 -> jnp fallback path
