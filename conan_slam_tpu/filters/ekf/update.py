@@ -137,8 +137,7 @@ def fused_frame_update(
         and d % 128 == 0
         and vmem_est <= 10 * 2**20
     ):
-        from conan_slam_tpu.ops.frame_kernel import measurement_chain
-        from conan_slam_tpu.ops.pallas_update import rank_update_t2
+        from conan_slam_tpu.ops.frame_kernel import frame_update
 
         hv2 = hv.reshape(2 * nz, 3)
         rows131 = jnp.concatenate([jnp.arange(3, dtype=rows2.dtype), rows2])
@@ -164,20 +163,17 @@ def fused_frame_update(
         vpad = jnp.pad(v, (0, mp - 2 * nz))
         vtf_use = vmat.T if vtf is None else vtf
 
-        chain = measurement_chain(
+        # Whole frame (measurement chain + P rank update) as ONE dispatch.
+        fu = frame_update(
             state.p, rows131, hc, bmat, vtf_use, rmat, vpad,
             interpret=interpret,
         )
-        x = state.x + chain.dx
+        x = state.x + fu.dx
         x = x.at[2].set(wrap_angle(x[2]))
-        p = rank_update_t2(
-            state.p, vtf_use, chain.bvt, chain.pht, chain.nsipht,
-            interpret=interpret,
-        )
-        new_state = state._replace(x=x, p=p)
+        new_state = state._replace(x=x, p=fu.p)
         if return_nis:
             n_meas = jnp.maximum(jnp.sum(mask.astype(v.dtype)), 1.0)
-            return new_state, chain.nis / n_meas
+            return new_state, fu.nis / n_meas
         return new_state
 
     # --- phtT = H (P + V B V^T) as (2NZ, D) row strips ---

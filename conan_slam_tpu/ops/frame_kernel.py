@@ -33,6 +33,8 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from conan_slam_tpu.core.linalg import PRECISION
 from conan_slam_tpu.ops.spd_inverse import sweep_ref_inverse
@@ -53,10 +55,10 @@ class MeasurementChain(NamedTuple):
     nis: jax.Array      # ()       v^T S^-1 v (stacked NIS)
 
 
-def _mega_kernel(rows_ref, hc_ref, prows_ref, bmat_ref, vtf_ref,
-                 rmat_ref, v_ref,
-                 pht_ref, bvt_ref, nsipht_ref, siv_ref, dx_ref, nis_ref,
-                 s_scr):
+def _chain_core(rows_ref, hc_ref, prows_ref, bmat_ref, vtf_ref,
+                rmat_ref, v_ref, s_scr):
+    """Shared chain math (see module docstring); returns value tuple
+    ``(pht, si, siv)`` with shapes (MP, D), (MP, MP), (1, MP)."""
     f32 = jnp.float32
     d = prows_ref.shape[1]
     rp = rows_ref.shape[1]
@@ -94,7 +96,6 @@ def _mega_kernel(rows_ref, hc_ref, prows_ref, bmat_ref, vtf_ref,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=f32,
     )
-    pht_ref[:, :] = pht
 
     # S = phtT[:, rows] Hc^T + R.
     psub = jax.lax.dot_general(
@@ -123,6 +124,18 @@ def _mega_kernel(rows_ref, hc_ref, prows_ref, bmat_ref, vtf_ref,
         v_ref[:, :], si, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=f32,
     )                                                       # (1, MP)
+    return pht, si, siv
+
+
+def _mega_kernel(rows_ref, hc_ref, prows_ref, bmat_ref, vtf_ref,
+                 rmat_ref, v_ref,
+                 pht_ref, bvt_ref, nsipht_ref, siv_ref, dx_ref, nis_ref,
+                 s_scr):
+    f32 = jnp.float32
+    pht, si, siv = _chain_core(
+        rows_ref, hc_ref, prows_ref, bmat_ref, vtf_ref, rmat_ref, v_ref, s_scr
+    )
+    pht_ref[:, :] = pht
     siv_ref[:, :] = siv
     dx_ref[:, :] = jax.lax.dot_general(
         siv, pht, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -208,6 +221,175 @@ def measurement_chain(p, rows, hc, bmat, vtf, rmat, v,
     return MeasurementChain(
         pht=pht, bvt=bvt, nsipht=nsipht, siv=siv[0], dx=dx[0], nis=nis[0, 0]
     )
+
+
+class FrameUpdate(NamedTuple):
+    """Outputs of the whole-frame fused update."""
+
+    p: jax.Array        # (D, D)  updated covariance P + V B V^T - PHT^T S^-1 PHT
+    dx: jax.Array       # (D,)    state-mean correction
+    nis: jax.Array      # ()      stacked NIS
+
+
+def _fused_kernel(rows_ref, hc_ref, prows_ref, bmat_ref, vtf_ref,
+                  rmat_ref, v_ref, vtfp_ref, p_ref,
+                  out_ref, dx_ref, nis_ref,
+                  phtt_scr, nsipht_scr, bvt_scr, s_scr, *, tr):
+    f32 = jnp.float32
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _chain():
+        pht, si, siv = _chain_core(
+            rows_ref, hc_ref, prows_ref, bmat_ref, vtf_ref, rmat_ref, v_ref,
+            s_scr,
+        )
+        # Stored transposed so the per-panel slice below lands on the
+        # sublane dimension (lane-dim dynamic slices don't lower).
+        phtt_scr[:, :] = pht.T
+        nsipht_scr[:, :] = -jax.lax.dot_general(
+            si, pht, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        bvt_scr[:, :] = jax.lax.dot_general(
+            bmat_ref[:, :], vtf_ref[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        dx_ref[:, :] = jax.lax.dot_general(
+            siv, pht, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        nis_ref[0, 0] = jnp.sum(siv * v_ref[:, :])
+
+    out_ref[:, :] = (
+        p_ref[:, :]
+        + jax.lax.dot_general(
+            vtfp_ref[:, :], bvt_scr[:, :],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        + jax.lax.dot_general(
+            phtt_scr[pl.ds(i * tr, tr), :], nsipht_scr[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+    )
+
+
+def frame_update(p, rows, hc, bmat, vtf, rmat, v,
+                 *, interpret: bool = False) -> FrameUpdate:
+    """Whole observation frame in ONE Pallas dispatch.
+
+    Fuses ``measurement_chain`` with the ``rank_update_t2`` row-panel pass:
+    grid step 0 runs the measurement chain into persistent VMEM scratch
+    (overlapping the serial S^-1 sweep with the panel DMA of P), and every
+    grid step applies
+
+        P_out[panel] = P[panel] + vtf[:, panel]^T (B vtf)
+                                + pht[:, panel]^T (-S^-1 pht)
+
+    against the resident strips.  HBM traffic = one read + one write of P
+    per frame plus the small strips; the separate rank-update dispatch (and
+    the pht/nsipht round trip through HBM) disappears.
+
+    Args/padding conventions identical to ``measurement_chain``.
+    """
+    d = p.shape[0]
+    mp = hc.shape[0]
+    nb = bmat.shape[0]
+    rp = _round_up(rows.shape[0], 8)
+    nbp = _round_up(nb, 8)
+
+    rows_p = jnp.full((1, rp), -1, jnp.int32).at[0, : rows.shape[0]].set(rows)
+    prows = jnp.pad(p[rows], ((0, rp - rows.shape[0]), (0, 0)))
+    hc = jnp.pad(hc, ((0, 0), (0, rp - hc.shape[1])))
+    bmat = jnp.pad(bmat, ((0, nbp - nb), (0, nbp - nb)))
+    vtf = jnp.pad(vtf, ((0, nbp - nb), (0, 0)))
+    v2 = v.reshape(1, mp)
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if not interpret and not (on_tpu and d % 128 == 0):
+        chain = _measurement_chain_reference(
+            prows, rows_p[0], hc, bmat, vtf, rmat, v2
+        )
+        from conan_slam_tpu.ops.pallas_update import rank_update_t2_reference
+
+        p_out = rank_update_t2_reference(
+            p, vtf, chain.bvt, chain.pht, chain.nsipht
+        )
+        return FrameUpdate(p=p_out, dx=chain.dx, nis=chain.nis)
+
+    f32 = p.dtype
+    # Row-panel size: fixed VMEM pieces are the gathered strips + scratch
+    # (~2 rp + 3 mp + 2 nbp rows of D) plus double-buffered (tr, D) in/out
+    # panels; pick the largest tile that keeps the total under budget.
+    fixed = (2 * rp + 3 * mp + 2 * nbp) * d * 4 + 2 * mp * mp * 4
+    tr = 0
+    for cand in (512, 256, 128):
+        if d % cand:
+            continue
+        if fixed + 4 * cand * d * 4 <= 13 * 2**20:
+            tr = cand
+            break
+    if tr == 0:
+        # Strips too large for a resident one-dispatch schedule; fall back
+        # to the two-dispatch pipeline (inputs are already padded, which the
+        # entries re-pad idempotently).
+        chain = measurement_chain(
+            p, rows, hc, bmat, vtf, rmat, v, interpret=interpret
+        )
+        from conan_slam_tpu.ops.pallas_update import rank_update_t2
+
+        p_out = rank_update_t2(
+            p, vtf, chain.bvt, chain.pht, chain.nsipht, interpret=interpret
+        )
+        return FrameUpdate(p=p_out, dx=chain.dx, nis=chain.nis)
+
+    cost = pl.CostEstimate(
+        flops=2 * d * d * (mp + nbp) + 2 * mp * d * (rp + nbp),
+        bytes_accessed=2 * d * d * 4 + (rp + mp + nbp) * d * 4,
+        transcendentals=0,
+    )
+    grid = (d // tr,)
+    bcast = lambda i: (0, 0)  # noqa: E731
+    vfull = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((d, d), f32),       # p
+        jax.ShapeDtypeStruct((1, d), f32),       # dx
+        jax.ShapeDtypeStruct((1, 1), f32),       # nis
+    )
+    p_out, dx, nis = pl.pallas_call(
+        functools.partial(_fused_kernel, tr=tr),
+        out_shape=out_shapes,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, rp), bcast, memory_space=pltpu.VMEM),
+            pl.BlockSpec((mp, rp), bcast, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp, d), bcast, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbp, nbp), bcast, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbp, d), bcast, memory_space=pltpu.VMEM),
+            pl.BlockSpec((mp, mp), bcast, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mp), bcast, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbp, tr), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tr, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), bcast, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), bcast, memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((d, mp), f32),    # pht^T
+            pltpu.VMEM((mp, d), f32),    # -S^-1 pht
+            pltpu.VMEM((nbp, d), f32),   # B vtf
+            pltpu.VMEM((mp, mp), f32),   # sweep scratch
+        ],
+        cost_estimate=cost,
+        interpret=interpret,
+    )(rows_p, hc, prows, bmat, vtf, rmat, v2, vtf, p)
+    return FrameUpdate(p=p_out, dx=dx[0], nis=nis[0, 0])
 
 
 def _measurement_chain_reference(prows, rows, hc, bmat, vtf, rmat, v2):

@@ -125,6 +125,56 @@ def test_rank_update_t2_two_strip_pairs():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-2)
 
 
+def test_frame_update_matches_two_dispatch_pipeline():
+    # The one-dispatch whole-frame kernel vs the chain + rank-update pair.
+    # d = 640 forces the 128-row panel schedule (grid of 5) so the scratch
+    # persistence and per-panel pht^T slicing are exercised.
+    from conan_slam_tpu.ops.frame_kernel import (
+        _measurement_chain_reference,
+        frame_update,
+    )
+    from conan_slam_tpu.ops.pallas_update import rank_update_t2_reference
+
+    rng = np.random.default_rng(3)
+    d, nz, nb = 640, 50, 20
+    mp = 128
+    a = rng.normal(size=(d, d)).astype(np.float32)
+    p = a @ a.T / d + np.eye(d, dtype=np.float32)
+    slots = rng.choice((d - 3) // 2, size=nz, replace=False).astype(np.int32)
+    rows = np.concatenate(
+        [np.arange(3), (3 + 2 * slots[:, None] + np.arange(2)).reshape(-1)]
+    ).astype(np.int32)
+    hc = np.zeros((mp, rows.size), np.float32)
+    hc[: 2 * nz] = rng.normal(size=(2 * nz, rows.size)).astype(np.float32) * 0.1
+    b = rng.normal(size=(nb, nb)).astype(np.float32) * 0.1
+    bmat = 0.5 * (b + b.T)
+    vtf = rng.normal(size=(nb, d)).astype(np.float32) * 0.02
+    rmat = np.eye(mp, dtype=np.float32) * 0.5 + np.eye(mp, dtype=np.float32)
+    v = np.zeros(mp, np.float32)
+    v[: 2 * nz] = rng.normal(size=2 * nz).astype(np.float32) * 0.1
+
+    out = frame_update(
+        jnp.asarray(p), jnp.asarray(rows), jnp.asarray(hc), jnp.asarray(bmat),
+        jnp.asarray(vtf), jnp.asarray(rmat), jnp.asarray(v), interpret=True,
+    )
+
+    rp = ((rows.size + 7) // 8) * 8
+    rows_p = np.full(rp, -1, np.int32)
+    rows_p[: rows.size] = rows
+    prows = np.zeros((rp, d), np.float32)
+    prows[: rows.size] = p[rows]
+    hc_p = np.pad(hc, ((0, 0), (0, rp - rows.size)))
+    chain = _measurement_chain_reference(
+        jnp.asarray(prows), jnp.asarray(rows_p), jnp.asarray(hc_p),
+        jnp.asarray(bmat), jnp.asarray(vtf), jnp.asarray(rmat),
+        jnp.asarray(v.reshape(1, mp)),
+    )
+    ref_p = rank_update_t2_reference(p, vtf, chain.bvt, chain.pht, chain.nsipht)
+    np.testing.assert_allclose(np.asarray(out.p), np.asarray(ref_p), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.dx), np.asarray(chain.dx), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(out.nis), float(chain.nis), rtol=1e-4, atol=1e-6)
+
+
 def _mega_setup(seed=13, capacity=100, nz=10, nb=12):
     """A realistic fused-frame-update problem with D % 128 == 0."""
     from conan_slam_tpu.filters import ekf as ekf_mod
