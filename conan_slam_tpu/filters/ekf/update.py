@@ -115,17 +115,12 @@ def fused_frame_update(
         vtf = jnp.zeros((8, d), dtype=state.p.dtype)
         vmat = None
     safe = jnp.clip(slots, 0, cap - 1)
-    xf = state.features[safe]                                    # (NZ, 2)
-    zp, hv, hf = sensor.observe(state.pose, xf)
-    hv = jnp.where(mask[:, None, None], hv, 0.0)                 # (NZ, 2, 3)
-    hf = jnp.where(mask[:, None, None], hf, 0.0)                 # (NZ, 2, 2)
-    dz = obs.z - zp
-    v = jnp.stack([dz[:, 0], wrap_angle(dz[:, 1])], axis=-1)
-    v = jnp.where(mask[:, None], v, 0.0).reshape(2 * nz)
-
     rows2 = (3 + 2 * safe[:, None] + jnp.arange(2)[None, :]).reshape(-1)
 
-    # --- megakernel path: the whole chain below as ONE Pallas dispatch ---
+    # --- megakernel path: the WHOLE frame as ONE Pallas dispatch ---
+    # (observe + compact-H/R/innovation assembly + measurement chain +
+    # P row-panel rank update, ops.frame_kernel.frame_update_obs).  The
+    # host side contributes only the slot-row indices.
     nb = bmat.shape[0]
     mp = -(-2 * nz // 128) * 128
     rp = -(-(3 + 2 * nz) // 8) * 8
@@ -137,44 +132,27 @@ def fused_frame_update(
         and d % 128 == 0
         and vmem_est <= 10 * 2**20
     ):
-        from conan_slam_tpu.ops.frame_kernel import frame_update
+        from conan_slam_tpu.ops.frame_kernel import frame_update_obs
 
-        hv2 = hv.reshape(2 * nz, 3)
         rows131 = jnp.concatenate([jnp.arange(3, dtype=rows2.dtype), rows2])
-        # Block-diagonal expansions as ONE broadcast-multiply against an
-        # identity (scatter-free: TPU scatters serialise per index).
-        eyen = jnp.eye(nz, dtype=state.p.dtype)
-        bd = (hf.reshape(nz, 2, 1, 2) * eyen[:, None, :, None]).reshape(
-            2 * nz, 2 * nz
-        )
-        hc = jnp.pad(
-            jnp.concatenate([hv2, bd], axis=1), ((0, mp - 2 * nz), (0, 0))
-        )
-        eye2 = jnp.eye(2, dtype=state.p.dtype)
-        rblocks = jnp.where(mask[:, None, None], r_cov, eye2)
-        rbd = (rblocks.reshape(nz, 2, 1, 2) * eyen[:, None, :, None]).reshape(
-            2 * nz, 2 * nz
-        )
-        iota = jnp.arange(mp)
-        pad_eye = jnp.logical_and(iota[:, None] == iota[None, :], iota >= 2 * nz)
-        rmat = jnp.pad(rbd, ((0, mp - 2 * nz), (0, mp - 2 * nz))) + pad_eye.astype(
-            state.p.dtype
-        )
-        vpad = jnp.pad(v, (0, mp - 2 * nz))
         vtf_use = vmat.T if vtf is None else vtf
-
-        # Whole frame (measurement chain + P rank update) as ONE dispatch.
-        fu = frame_update(
-            state.p, rows131, hc, bmat, vtf_use, rmat, vpad,
-            interpret=interpret,
+        fu = frame_update_obs(
+            state.p, state.x, rows131, obs.z[:, 0], obs.z[:, 1], mask, r_cov,
+            bmat, vtf_use, interpret=interpret,
         )
-        x = state.x + fu.dx
-        x = x.at[2].set(wrap_angle(x[2]))
-        new_state = state._replace(x=x, p=fu.p)
+        new_state = state._replace(x=fu.dx, p=fu.p)  # dx = updated mean here
         if return_nis:
-            n_meas = jnp.maximum(jnp.sum(mask.astype(v.dtype)), 1.0)
+            n_meas = jnp.maximum(jnp.sum(mask.astype(fu.dx.dtype)), 1.0)
             return new_state, fu.nis / n_meas
         return new_state
+
+    xf = state.features[safe]                                    # (NZ, 2)
+    zp, hv, hf = sensor.observe(state.pose, xf)
+    hv = jnp.where(mask[:, None, None], hv, 0.0)                 # (NZ, 2, 3)
+    hf = jnp.where(mask[:, None, None], hf, 0.0)                 # (NZ, 2, 2)
+    dz = obs.z - zp
+    v = jnp.stack([dz[:, 0], wrap_angle(dz[:, 1])], axis=-1)
+    v = jnp.where(mask[:, None], v, 0.0).reshape(2 * nz)
 
     # --- phtT = H (P + V B V^T) as (2NZ, D) row strips ---
     if vmat is None:

@@ -55,44 +55,44 @@ class MeasurementChain(NamedTuple):
     nis: jax.Array      # ()       v^T S^-1 v (stacked NIS)
 
 
-def _chain_core(rows_ref, hc_ref, prows_ref, bmat_ref, vtf_ref,
-                rmat_ref, v_ref, s_scr):
-    """Shared chain math (see module docstring); returns value tuple
+def _row_selector(rows_ref, d):
+    """One-hot row selector E[d, c] = (d == rows[c]); padded slots carry
+    rows = -1 and select nothing.  Used for the frame-factor row gather
+    (Vrows = Vt E), the S column gather, and the in-kernel x row gather."""
+    rp = rows_ref.shape[1]
+    return (
+        jax.lax.broadcasted_iota(jnp.int32, (d, rp), 0) == rows_ref[:, :]
+    ).astype(jnp.float32)
+
+
+def _chain_core(e, hc, prows, bmat, vtf, rmat, v2, s_scr):
+    """Shared chain math (see module docstring) on VALUE arrays; returns
     ``(pht, si, siv)`` with shapes (MP, D), (MP, MP), (1, MP)."""
     f32 = jnp.float32
-    d = prows_ref.shape[1]
-    rp = rows_ref.shape[1]
-
-    # One-hot row selector E[d, c] = (d == rows[c]); padded slots carry
-    # rows = -1 and select nothing.  Used for both the frame-factor row
-    # gather (Vrows = Vt E) and the S column gather below.
-    e = (
-        jax.lax.broadcasted_iota(jnp.int32, (d, rp), 0) == rows_ref[:, :]
-    ).astype(f32)
 
     # P' H^T row strips: compact H against the gathered rows of P, plus the
     # factored frame correction (Hc Vrows) B Vt.
     vrows_t = jax.lax.dot_general(
-        vtf_ref[:, :], e,
+        vtf, e,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=f32,
     )                                                       # (NBP, RP)
     hvm = jax.lax.dot_general(
-        hc_ref[:, :], vrows_t,
+        hc, vrows_t,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=f32,
     )                                                       # (MP, NBP)
     hvb = jax.lax.dot_general(
-        hvm, bmat_ref[:, :],
+        hvm, bmat,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=f32,
     )
     pht = jax.lax.dot_general(
-        hc_ref[:, :], prows_ref[:, :],
+        hc, prows,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=f32,
     ) + jax.lax.dot_general(
-        hvb, vtf_ref[:, :],
+        hvb, vtf,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=f32,
     )
@@ -103,9 +103,9 @@ def _chain_core(rows_ref, hc_ref, prows_ref, bmat_ref, vtf_ref,
         preferred_element_type=f32,
     )                                                       # (MP, RP)
     s = jax.lax.dot_general(
-        psub, hc_ref[:, :], dimension_numbers=(((1,), (1,)), ((), ())),
+        psub, hc, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=f32,
-    ) + rmat_ref[:, :]
+    ) + rmat
 
     # Jacobi scaling (unit diagonal) then the in-register symmetric sweep.
     mp = s.shape[0]
@@ -121,7 +121,7 @@ def _chain_core(rows_ref, hc_ref, prows_ref, bmat_ref, vtf_ref,
     si = jnp.where(finite, si, 0.0)
 
     siv = jax.lax.dot_general(
-        v_ref[:, :], si, dimension_numbers=(((1,), (0,)), ((), ())),
+        v2, si, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=f32,
     )                                                       # (1, MP)
     return pht, si, siv
@@ -132,8 +132,10 @@ def _mega_kernel(rows_ref, hc_ref, prows_ref, bmat_ref, vtf_ref,
                  pht_ref, bvt_ref, nsipht_ref, siv_ref, dx_ref, nis_ref,
                  s_scr):
     f32 = jnp.float32
+    e = _row_selector(rows_ref, prows_ref.shape[1])
     pht, si, siv = _chain_core(
-        rows_ref, hc_ref, prows_ref, bmat_ref, vtf_ref, rmat_ref, v_ref, s_scr
+        e, hc_ref[:, :], prows_ref[:, :], bmat_ref[:, :], vtf_ref[:, :],
+        rmat_ref[:, :], v_ref[:, :], s_scr,
     )
     pht_ref[:, :] = pht
     siv_ref[:, :] = siv
@@ -240,9 +242,10 @@ def _fused_kernel(rows_ref, hc_ref, prows_ref, bmat_ref, vtf_ref,
 
     @pl.when(i == 0)
     def _chain():
+        e = _row_selector(rows_ref, prows_ref.shape[1])
         pht, si, siv = _chain_core(
-            rows_ref, hc_ref, prows_ref, bmat_ref, vtf_ref, rmat_ref, v_ref,
-            s_scr,
+            e, hc_ref[:, :], prows_ref[:, :], bmat_ref[:, :], vtf_ref[:, :],
+            rmat_ref[:, :], v_ref[:, :], s_scr,
         )
         # Stored transposed so the per-panel slice below lands on the
         # sublane dimension (lane-dim dynamic slices don't lower).
@@ -390,6 +393,376 @@ def frame_update(p, rows, hc, bmat, vtf, rmat, v,
         interpret=interpret,
     )(rows_p, hc, prows, bmat, vtf, rmat, v2, vtf, p)
     return FrameUpdate(p=p_out, dx=dx[0], nis=nis[0, 0])
+
+
+_TWO_PI = 6.283185307179586
+_PI = 3.141592653589793
+
+
+def _wrap(a):
+    """wrap to [-pi, pi) via floor (jnp.remainder is not Mosaic-lowerable)."""
+    return a - _TWO_PI * jnp.floor((a + _PI) / _TWO_PI)
+
+
+def _atan2(y, x):
+    """Branchless float32 atan2 from Mosaic-lowerable primitives.
+
+    Mosaic has no atan/atan2 lowering; this is the Cephes ``atanf``
+    octant-reduced polynomial (|err| ~ 1e-7 rad, far below the 1-degree
+    bearing noise floor).  t = min/max of |x|,|y| keeps the argument in
+    [0, 1]; a second reduction through tan(pi/8) bounds the polynomial
+    argument at ~0.414.
+    """
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    t = lo / jnp.maximum(hi, 1e-30)                  # [0, 1]
+    # Reduce through tan(pi/8): atan(t) = pi/4 + atan((t-1)/(t+1)).
+    red = t > 0.4142135623730950
+    z = jnp.where(red, (t - 1.0) / (t + 1.0), t)
+    zz = z * z
+    p = (
+        ((8.05374449538e-2 * zz - 1.38776856032e-1) * zz + 1.99777106478e-1)
+        * zz
+        - 3.33329491539e-1
+    ) * zz * z + z
+    r = jnp.where(red, 0.7853981633974483 + p, p)
+    r = jnp.where(ay > ax, 1.5707963267948966 - r, r)
+    r = jnp.where(x < 0.0, _PI - r, r)
+    return jnp.where(y < 0.0, -r, r)
+
+
+def _observe_core(x_row, zin, rsc, e, mp, rp):
+    """In-kernel range-bearing observe + operator assembly.
+
+    Args (values / refs):
+      x_row: (1, D) post-frame state mean.
+      zin:   (8, NZL) packed per-measurement inputs — rows 0/1/2 = z_range,
+             z_bearing, mask (1.0 valid); rows 3..7 zero padding.
+      rsc:   SMEM (4,) measurement-noise 2x2 entries [r00, r01, r10, r11].
+      e:     (D, RP) one-hot row selector from ``_row_selector``.
+      mp, rp: padded measurement-row / gathered-row counts; NZL = MP // 2.
+
+    Returns ``(hc, rmat, v2)``: the compact (MP, RP) measurement operator,
+    (MP, MP) block-diagonal noise (identity on masked rows) and the (1, MP)
+    stacked innovation — the same arrays the host-side glue in
+    filters.ekf.update.fused_frame_update builds, assembled from static iota
+    selectors and a handful of tiny MXU matmuls (single source of truth for
+    the model formulas: models.sensor.observe; equivalence pinned by
+    tests/test_pallas_ops.py).
+    """
+    f32 = jnp.float32
+    nzl = mp // 2
+
+    # x at the gathered rows: [px, py, phi, f0x, f0y, f1x, f1y, ...].
+    xrows = jax.lax.dot_general(
+        x_row, e, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )                                                     # (1, RP)
+    # Static selectors (iota only — no data-dependent layout).
+    i_r = jax.lax.broadcasted_iota(jnp.int32, (rp, nzl), 0)
+    j_r = jax.lax.broadcasted_iota(jnp.int32, (rp, nzl), 1)
+    sx = (i_r == 3 + 2 * j_r).astype(f32)                 # (RP, NZL)
+    sy = (i_r == 4 + 2 * j_r).astype(f32)
+    fx = jax.lax.dot_general(
+        xrows, sx, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )                                                     # (1, NZL)
+    fy = jax.lax.dot_general(
+        xrows, sy, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
+
+    px = xrows[:, 0:1]
+    py = xrows[:, 1:2]
+    phi = xrows[:, 2:3]
+    m = zin[2:3, :]                                       # (1, NZL) mask
+    dxl = fx - px
+    dyl = fy - py
+    d2 = jnp.maximum(dxl * dxl + dyl * dyl, 1e-12)
+    dist = jnp.sqrt(d2)
+    xd = dxl / dist
+    yd = dyl / dist
+    xd2 = dxl / d2
+    yd2 = dyl / d2
+    bpred = _atan2(dyl, dxl) - phi
+
+    vr = (zin[0:1, :] - dist) * m
+    vb = _wrap(zin[1:2, :] - bpred) * m
+
+    # Row / column / spread selectors.
+    i_m = jax.lax.broadcasted_iota(jnp.int32, (mp, nzl), 0)
+    j_m = jax.lax.broadcasted_iota(jnp.int32, (mp, nzl), 1)
+    r_even = (i_m == 2 * j_m).astype(f32)                 # (MP, NZL)
+    r_odd = (i_m == 2 * j_m + 1).astype(f32)
+    i_c = jax.lax.broadcasted_iota(jnp.int32, (nzl, rp), 0)
+    j_c = jax.lax.broadcasted_iota(jnp.int32, (nzl, rp), 1)
+    c0 = (j_c == 0).astype(f32)                           # (NZL, RP)
+    c1 = (j_c == 1).astype(f32)
+    c2 = (j_c == 2).astype(f32)
+    cx = (j_c == 3 + 2 * i_c).astype(f32)
+    cy = (j_c == 4 + 2 * i_c).astype(f32)
+
+    def spread(row_sel, vals, col_sel):
+        return jax.lax.dot_general(
+            row_sel * vals, col_sel,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+
+    xdm = xd * m
+    ydm = yd * m
+    xd2m = xd2 * m
+    yd2m = yd2 * m
+    hc = (
+        spread(r_even * (-xdm) + r_odd * yd2m, jnp.ones((1, nzl), f32), c0)
+        + spread(r_even * (-ydm) + r_odd * (-xd2m), jnp.ones((1, nzl), f32), c1)
+        + spread(r_odd, -m, c2)
+        + spread(r_even * xdm + r_odd * (-yd2m), jnp.ones((1, nzl), f32), cx)
+        + spread(r_even * ydm + r_odd * xd2m, jnp.ones((1, nzl), f32), cy)
+    )                                                     # (MP, RP)
+
+    # Innovation spread to stacked (1, MP) lanes.
+    spr_r = jnp.transpose(r_even)                         # (NZL, MP)
+    spr_b = jnp.transpose(r_odd)
+    v2 = jax.lax.dot_general(
+        vr, spr_r, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ) + jax.lax.dot_general(
+        vb, spr_b, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
+
+    # Block-diagonal R with identity on masked/padded rows.
+    mcol = jax.lax.dot_general(
+        r_even + r_odd, jnp.transpose(m),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )                                                     # (MP, 1)
+    evenc = jnp.sum(r_even, axis=1, keepdims=True)        # (MP, 1) 1 @ even
+    oddc = jnp.sum(r_odd, axis=1, keepdims=True)
+    i2 = jax.lax.broadcasted_iota(jnp.int32, (mp, mp), 0)
+    j2 = jax.lax.broadcasted_iota(jnp.int32, (mp, mp), 1)
+    diag = i2 == j2
+    rmat = jnp.where(diag, evenc * rsc[0] + oddc * rsc[1 + 2], 0.0)
+    rmat = rmat + jnp.where(j2 == i2 + 1, evenc * rsc[1], 0.0)
+    rmat = rmat + jnp.where(i2 == j2 + 1, oddc * rsc[2], 0.0)
+    rmat = mcol * rmat + (1.0 - mcol) * jnp.where(diag, 1.0, 0.0)
+    return hc, rmat, v2
+
+
+def _fullframe_kernel(rows_ref, zin_ref, rsc_ref, x_ref, prows_ref,
+                      bmat_ref, vtf_ref, vtfp_ref, p_ref,
+                      out_ref, xn_ref, nis_ref,
+                      phtt_scr, nsipht_scr, bvt_scr, s_scr, *, tr):
+    f32 = jnp.float32
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _chain():
+        d = prows_ref.shape[1]
+        mp = 2 * zin_ref.shape[1]
+        rp = rows_ref.shape[1]
+        e = _row_selector(rows_ref, d)
+        hc, rmat, v2 = _observe_core(
+            x_ref[:, :], zin_ref[:, :], rsc_ref, e, mp, rp
+        )
+        pht, si, siv = _chain_core(
+            e, hc, prows_ref[:, :], bmat_ref[:, :], vtf_ref[:, :], rmat, v2,
+            s_scr,
+        )
+        phtt_scr[:, :] = pht.T
+        nsipht_scr[:, :] = -jax.lax.dot_general(
+            si, pht, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        bvt_scr[:, :] = jax.lax.dot_general(
+            bmat_ref[:, :], vtf_ref[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        xn = x_ref[:, :] + jax.lax.dot_general(
+            siv, pht, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        # Wrap the heading lane.
+        laned = jax.lax.broadcasted_iota(jnp.int32, (1, xn.shape[1]), 1)
+        xn_ref[:, :] = jnp.where(laned == 2, _wrap(xn), xn)
+        nis_ref[0, 0] = jnp.sum(siv * v2)
+
+    out_ref[:, :] = (
+        p_ref[:, :]
+        + jax.lax.dot_general(
+            vtfp_ref[:, :], bvt_scr[:, :],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        + jax.lax.dot_general(
+            phtt_scr[pl.ds(i * tr, tr), :], nsipht_scr[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+    )
+
+
+def frame_update_obs(p, x, rows, zr, zb, mask, r_cov, bmat, vtf,
+                     *, interpret: bool = False):
+    """Whole observation frame — observe + operator build + measurement
+    chain + P rank update — in ONE Pallas dispatch.
+
+    On top of ``frame_update`` this moves the per-frame "glue" (range-bearing
+    prediction and Jacobians against the post-frame state, compact-H /
+    block-diagonal-R / stacked-innovation assembly) inside the kernel: the
+    host side supplies only the measurement buffer and slot rows.  The
+    observation model is re-derived from models.sensor.observe
+    (reference EKF::observeModel, EKF.cpp:354-404).
+
+    Args:
+      p:     (D, D) frame-start covariance, D % 128 == 0 on the TPU path.
+      x:     (D,) post-frame state mean (factors already applied).
+      rows:  (3 + 2 NZ,) int32 gathered row indices [0, 1, 2, slot rows...].
+      zr/zb: (NZ,) measured range / bearing.
+      mask:  (NZ,) bool validity.
+      r_cov: (2, 2) measurement noise.
+      bmat:  (NB, NB) frame-factor middle matrix.
+      vtf:   (NB, D) frame-factor row strip.
+
+    Returns ``FrameUpdate(p, dx, nis)`` where ``dx`` is the UPDATED state
+    mean (heading wrapped), not a correction.
+    """
+    d = p.shape[0]
+    nz = zr.shape[0]
+    nb = bmat.shape[0]
+    mp = _round_up(2 * nz, 128)
+    nzl = mp // 2
+    rp = _round_up(rows.shape[0], 8)
+    nbp = _round_up(nb, 8)
+
+    mask_f = mask.astype(p.dtype)
+    zin = jnp.zeros((8, nzl), p.dtype)
+    zin = zin.at[0, :nz].set(jnp.where(mask, zr, 0.0))
+    zin = zin.at[1, :nz].set(jnp.where(mask, zb, 0.0))
+    zin = zin.at[2, :nz].set(mask_f)
+    rsc = jnp.asarray(r_cov, p.dtype).reshape(4)
+    rows_p = jnp.full((1, rp), -1, jnp.int32).at[0, : rows.shape[0]].set(rows)
+    prows = jnp.pad(p[rows], ((0, rp - rows.shape[0]), (0, 0)))
+    bmat = jnp.pad(bmat, ((0, nbp - nb), (0, nbp - nb)))
+    vtf = jnp.pad(vtf, ((0, nbp - nb), (0, 0)))
+    x_row = x.reshape(1, d)
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    use_kernel = (on_tpu or interpret) and d % 128 == 0
+    fixed = (2 * rp + 3 * mp + 2 * nbp) * d * 4 + 2 * mp * mp * 4
+    tr = 0
+    if use_kernel:
+        for cand in (512, 256, 128):
+            if d % cand:
+                continue
+            if fixed + 4 * cand * d * 4 <= 13 * 2**20:
+                tr = cand
+                break
+    if interpret or (use_kernel and tr):
+        pass
+    else:
+        # jnp reference: identical glue algebra on the host side.
+        return _frame_update_obs_reference(
+            p, x_row, rows_p[0], prows, zin, rsc, bmat, vtf, mp, rp
+        )
+
+    f32 = p.dtype
+    cost = pl.CostEstimate(
+        flops=2 * d * d * (mp + nbp) + 2 * mp * d * (rp + nbp),
+        bytes_accessed=2 * d * d * 4 + (rp + mp + nbp) * d * 4,
+        transcendentals=4 * nzl,
+    )
+    bcast = lambda i: (0, 0)  # noqa: E731
+    p_out, xn, nis = pl.pallas_call(
+        functools.partial(_fullframe_kernel, tr=tr),
+        out_shape=(
+            jax.ShapeDtypeStruct((d, d), f32),
+            jax.ShapeDtypeStruct((1, d), f32),
+            jax.ShapeDtypeStruct((1, 1), f32),
+        ),
+        grid=(d // tr,),
+        in_specs=[
+            pl.BlockSpec((1, rp), bcast, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, nzl), bcast, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, d), bcast, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp, d), bcast, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbp, nbp), bcast, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbp, d), bcast, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbp, tr), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tr, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), bcast, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), bcast, memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((d, mp), f32),
+            pltpu.VMEM((mp, d), f32),
+            pltpu.VMEM((nbp, d), f32),
+            pltpu.VMEM((mp, mp), f32),
+        ],
+        cost_estimate=cost,
+        interpret=interpret,
+    )(rows_p, zin, rsc, x_row, prows, bmat, vtf, vtf, p)
+    return FrameUpdate(p=p_out, dx=xn[0], nis=nis[0, 0])
+
+
+def _frame_update_obs_reference(p, x_row, rows, prows, zin, rsc, bmat, vtf,
+                                mp, rp):
+    """jnp mirror of the in-kernel observe + chain + rank update."""
+    from conan_slam_tpu.ops.pallas_update import rank_update_t2_reference
+
+    d = p.shape[0]
+    nzl = mp // 2
+    e_sel = (jnp.arange(d)[:, None] == rows[None, :]).astype(p.dtype)
+    xrows = x_row @ e_sel                                  # (1, RP)
+    idx = jnp.arange(nzl)
+    fx = xrows[0, 3 + 2 * idx]
+    fy = xrows[0, 4 + 2 * idx]
+    px, py, phi = xrows[0, 0], xrows[0, 1], xrows[0, 2]
+    m = zin[2]
+    dxl = fx - px
+    dyl = fy - py
+    d2 = jnp.maximum(dxl**2 + dyl**2, 1e-12)
+    dist = jnp.sqrt(d2)
+    bpred = jnp.arctan2(dyl, dxl) - phi
+    from conan_slam_tpu.core.geometry import wrap_angle
+
+    vr = (zin[0] - dist) * m
+    vb = wrap_angle(zin[1] - bpred) * m
+    v2 = jnp.zeros((mp,), p.dtype)
+    v2 = v2.at[2 * idx].set(vr).at[2 * idx + 1].set(vb)
+
+    hc = jnp.zeros((mp, rp), p.dtype)
+    hc = hc.at[2 * idx, 0].set(-dxl / dist * m)
+    hc = hc.at[2 * idx, 1].set(-dyl / dist * m)
+    hc = hc.at[2 * idx + 1, 0].set(dyl / d2 * m)
+    hc = hc.at[2 * idx + 1, 1].set(-dxl / d2 * m)
+    hc = hc.at[2 * idx + 1, 2].set(-m)
+    hc = hc.at[2 * idx, 3 + 2 * idx].set(dxl / dist * m)
+    hc = hc.at[2 * idx, 4 + 2 * idx].set(dyl / dist * m)
+    hc = hc.at[2 * idx + 1, 3 + 2 * idx].set(-dyl / d2 * m)
+    hc = hc.at[2 * idx + 1, 4 + 2 * idx].set(dxl / d2 * m)
+
+    rmat = jnp.zeros((mp, mp), p.dtype)
+    rmat = rmat.at[2 * idx, 2 * idx].set(jnp.where(m > 0, rsc[0], 1.0))
+    rmat = rmat.at[2 * idx + 1, 2 * idx + 1].set(jnp.where(m > 0, rsc[3], 1.0))
+    rmat = rmat.at[2 * idx, 2 * idx + 1].set(jnp.where(m > 0, rsc[1], 0.0))
+    rmat = rmat.at[2 * idx + 1, 2 * idx].set(jnp.where(m > 0, rsc[2], 0.0))
+
+    chain = _measurement_chain_reference(
+        prows, rows, hc, bmat, vtf, rmat, v2.reshape(1, mp)
+    )
+    p_out = rank_update_t2_reference(p, vtf, chain.bvt, chain.pht, chain.nsipht)
+    xn = x_row[0] + chain.dx
+    xn = xn.at[2].set(wrap_angle(xn[2]))
+    return FrameUpdate(p=p_out, dx=xn, nis=chain.nis)
 
 
 def _measurement_chain_reference(prows, rows, hc, bmat, vtf, rmat, v2):

@@ -175,6 +175,64 @@ def test_frame_update_matches_two_dispatch_pipeline():
     np.testing.assert_allclose(float(out.nis), float(chain.nis), rtol=1e-4, atol=1e-6)
 
 
+def _obs_glue_inputs(state, obs, slots, mask, nb=12, seed=7):
+    """Factor strips + row indices for a frame-update problem."""
+    rng = np.random.default_rng(seed)
+    d = state.x.shape[0]
+    nz = obs.z.shape[0]
+    safe = np.clip(np.asarray(slots), 0, state.capacity - 1)
+    rows = np.concatenate(
+        [np.arange(3), (3 + 2 * safe[:, None] + np.arange(2)).reshape(-1)]
+    ).astype(np.int32)
+    b = rng.normal(size=(nb, nb)).astype(np.float32) * 0.1
+    bmat = 0.5 * (b + b.T)
+    vtf = rng.normal(size=(nb, d)).astype(np.float32) * 0.01
+    return jnp.asarray(rows), jnp.asarray(bmat), jnp.asarray(vtf)
+
+
+def test_frame_update_obs_matches_host_glue():
+    # In-kernel observe/operator build vs the host-side glue path
+    # (fused_frame_update's megakernel branch algebra).
+    from conan_slam_tpu.filters.ekf.update import fused_frame_update
+    from conan_slam_tpu.ops.frame_kernel import frame_update_obs
+
+    state, _vmat, _bmat, obs, slots, mask, r_cov = _mega_setup()
+    rows, bmat, vtf = _obs_glue_inputs(state, obs, slots, mask)
+
+    ref_state, ref_nis = fused_frame_update(
+        state, None, bmat, obs, slots, mask, r_cov,
+        use_pallas=False, return_nis=True, vtf=vtf,
+    )
+    for interpret in (False, True):
+        out = frame_update_obs(
+            state.p, state.x, rows, obs.z[:, 0], obs.z[:, 1], mask, r_cov,
+            bmat, vtf, interpret=interpret,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.dx), np.asarray(ref_state.x), rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.p), np.asarray(ref_state.p), rtol=1e-3, atol=1e-4
+        )
+        n_meas = max(float(np.sum(np.asarray(mask))), 1.0)
+        np.testing.assert_allclose(
+            float(out.nis) / n_meas, float(ref_nis), rtol=1e-3, atol=1e-5
+        )
+
+
+def test_kernel_atan2_matches_numpy():
+    from conan_slam_tpu.ops.frame_kernel import _atan2
+
+    rng = np.random.default_rng(2)
+    y = rng.normal(size=4096).astype(np.float32) * 100
+    x = rng.normal(size=4096).astype(np.float32) * 100
+    y[:4] = [0.0, 0.0, 1.0, -1.0]
+    x[:4] = [1.0, -1.0, 0.0, 0.0]
+    got = np.asarray(_atan2(jnp.asarray(y), jnp.asarray(x)))
+    ref = np.arctan2(y, x)
+    np.testing.assert_allclose(got, ref, atol=2e-6)
+
+
 def _mega_setup(seed=13, capacity=100, nz=10, nb=12):
     """A realistic fused-frame-update problem with D % 128 == 0."""
     from conan_slam_tpu.filters import ekf as ekf_mod
