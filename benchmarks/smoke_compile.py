@@ -1,0 +1,161 @@
+"""TPU compile smoke gate — run before every milestone commit.
+
+Round 1 shipped a whole-frame kernel validated only in interpret mode (which
+cannot see Mosaic VMEM limits) and broke the headline bench with a
+17.99M > 16M scoped-vmem OOM at compile time.  This gate closes that hole:
+
+  stage "kernel"  (~1 min warm): jit-compiles AND runs the production
+      megakernel ``frame_update_obs`` at the exact bench shape
+      (D=2304, NZ=64, NB=24) on the real backend, then checks the outputs
+      against the host-glue jnp path compiled on the same backend.
+  stage "program" (~minutes cold, cached after): compiles + runs a 10-step
+      ``run_ekf_slam_precomputed`` at the full bench configuration — the
+      same scan body bench.py compiles, so any kernel in the product path
+      that stops lowering fails HERE, not in BENCH_r{N}.json.
+
+Also asserts the shared VMEM-feasibility predicate ``can_fuse_frame`` says
+yes at the bench shape and no at a deliberately oversized one (so an
+oversized state silently degrades to the multi-op path instead of OOMing).
+
+Run: python benchmarks/smoke_compile.py [kernel|program|all]   (default all)
+Exit code 0 = gate passed.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def stage_kernel() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from conan_slam_tpu.filters import ekf as ekf_mod
+    from conan_slam_tpu.filters.common import CompactObs
+    from conan_slam_tpu.filters.ekf.update import fused_frame_update
+    from conan_slam_tpu.ops.frame_kernel import can_fuse_frame, frame_update_obs
+
+    d = int(os.environ.get("SMOKE_D", 2304))
+    nz = int(os.environ.get("SMOKE_NZ", 64))
+    nb = int(os.environ.get("SMOKE_NB", 24))
+    assert can_fuse_frame(d, nz, nb), "bench shape must take the megakernel"
+    assert not can_fuse_frame(6400, nz, nb), (
+        "oversized states must fall back, not OOM"
+    )
+
+    rng = np.random.default_rng(11)
+    cap = (d - 3) // 2
+    lm = rng.uniform(-80, 80, size=(cap, 2)).astype(np.float32)
+    state = ekf_mod.init_state_with_map(lm, sigma0=0.5, pad_multiple=128)
+    assert state.x.shape[0] == d, state.x.shape
+    a = rng.normal(size=(d, 8)).astype(np.float32) * 0.05
+    state = state._replace(p=state.p + jnp.asarray(a @ a.T))
+
+    ids = rng.choice(cap, size=nz, replace=False).astype(np.int32)
+    z = np.stack(
+        [
+            np.hypot(lm[ids, 0], lm[ids, 1]) + rng.normal(size=nz) * 0.1,
+            np.arctan2(lm[ids, 1], lm[ids, 0]) + rng.normal(size=nz) * 0.01,
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    mask = np.ones(nz, bool)
+    mask[-3] = False
+    obs = CompactObs(z=jnp.asarray(z), ids=jnp.asarray(ids), mask=jnp.asarray(mask))
+    slots = jnp.asarray(ids)
+    mask_j = jnp.asarray(mask)
+    r_cov = jnp.asarray([[0.01, 0.0], [0.0, (0.5 * np.pi / 180) ** 2]], jnp.float32)
+    b = rng.normal(size=(nb, nb)).astype(np.float32) * 0.1
+    bmat = jnp.asarray(0.5 * (b + b.T))
+    vtf = jnp.asarray(rng.normal(size=(nb, d)).astype(np.float32) * 0.01)
+
+    safe = np.clip(ids, 0, cap - 1)
+    rows = np.concatenate(
+        [np.arange(3), (3 + 2 * safe[:, None] + np.arange(2)).reshape(-1)]
+    ).astype(np.int32)
+
+    t0 = time.perf_counter()
+    fn = jax.jit(
+        lambda p, x, r, zr, zb, m, rc, bm, vt: frame_update_obs(
+            p, x, r, zr, zb, m, rc, bm, vt
+        )
+    )
+    out = fn(
+        state.p, state.x, jnp.asarray(rows), obs.z[:, 0], obs.z[:, 1],
+        mask_j, r_cov, bmat, vtf,
+    )
+    got_p = np.asarray(out.p)       # honest fence on the axon backend
+    got_x = np.asarray(out.x)
+    got_nis = float(np.asarray(out.nis))
+    log(f"kernel compile+run: {time.perf_counter() - t0:.1f}s")
+
+    ref_fn = jax.jit(
+        lambda st: fused_frame_update(
+            st, None, bmat, obs, slots, mask_j, r_cov,
+            use_pallas=False, return_nis=True, vtf=vtf,
+        )
+    )
+    ref_state, _ = ref_fn(state)
+    ref_p = np.asarray(ref_state.p)
+    ref_x = np.asarray(ref_state.x)
+    perr = np.max(np.abs(got_p - ref_p)) / max(np.max(np.abs(ref_p)), 1e-9)
+    xerr = np.max(np.abs(got_x - ref_x))
+    log(f"kernel vs host-glue: relP={perr:.2e} maxX={xerr:.2e} nis={got_nis:.3f}")
+    assert perr < 1e-3, perr
+    assert xerr < 1e-3, xerr
+    assert np.isfinite(got_nis) and got_nis > 0, got_nis
+    log("stage kernel: PASS")
+
+
+def stage_program() -> None:
+    import jax
+
+    import bench as bench_mod
+    from conan_slam_tpu.config import SlamConfig
+    from conan_slam_tpu.filters.ekf import init_state_with_map
+    from conan_slam_tpu.runner.loop import run_ekf_slam_precomputed
+
+    _, _, world = bench_mod.build_world()
+    cfg = SlamConfig(max_landmarks=bench_mod.N_LANDMARKS, max_obs=64)
+    state0 = init_state_with_map(world.landmarks, sigma0=bench_mod.SIGMA0)
+    key = jax.random.PRNGKey(0)
+    t0 = time.perf_counter()
+    state, outs = run_ekf_slam_precomputed(
+        world, cfg, key, n_steps=10, init_state=state0
+    )
+    np.asarray(outs.x_est)
+    np.asarray(state.x)
+    log(f"program compile+run (10 steps): {time.perf_counter() - t0:.1f}s")
+    assert np.all(np.isfinite(np.asarray(state.x)))
+    log("stage program: PASS")
+
+
+def main():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_bench_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    log(f"devices: {jax.devices()}")
+    if which in ("kernel", "all"):
+        stage_kernel()
+    if which in ("program", "all"):
+        stage_program()
+    log("smoke_compile: ALL PASS")
+
+
+if __name__ == "__main__":
+    main()

@@ -120,29 +120,27 @@ def fused_frame_update(
     # --- megakernel path: the WHOLE frame as ONE Pallas dispatch ---
     # (observe + compact-H/R/innovation assembly + measurement chain +
     # P row-panel rank update, ops.frame_kernel.frame_update_obs).  The
-    # host side contributes only the slot-row indices.
-    nb = bmat.shape[0]
-    mp = -(-2 * nz // 128) * 128
-    rp = -(-(3 + 2 * nz) // 8) * 8
-    vmem_est = d * (2 * rp + 2 * mp + nb + 8) * 4
+    # host side contributes only the slot-row indices and three tiny
+    # pre-gathered strips.  can_fuse_frame is the SAME VMEM-feasibility
+    # predicate the kernel itself uses to pick its schedule, so this branch
+    # is taken exactly when the one-dispatch schedule actually runs.
+    from conan_slam_tpu.ops.frame_kernel import can_fuse_frame, frame_update_obs
+
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if (
         use_pallas
         and (on_tpu or interpret)
-        and d % 128 == 0
-        and vmem_est <= 10 * 2**20
+        and can_fuse_frame(d, nz, bmat.shape[0])
     ):
-        from conan_slam_tpu.ops.frame_kernel import frame_update_obs
-
         rows131 = jnp.concatenate([jnp.arange(3, dtype=rows2.dtype), rows2])
         vtf_use = vmat.T if vtf is None else vtf
         fu = frame_update_obs(
             state.p, state.x, rows131, obs.z[:, 0], obs.z[:, 1], mask, r_cov,
             bmat, vtf_use, interpret=interpret,
         )
-        new_state = state._replace(x=fu.dx, p=fu.p)  # dx = updated mean here
+        new_state = state._replace(x=fu.x, p=fu.p)
         if return_nis:
-            n_meas = jnp.maximum(jnp.sum(mask.astype(fu.dx.dtype)), 1.0)
+            n_meas = jnp.maximum(jnp.sum(mask.astype(fu.x.dtype)), 1.0)
             return new_state, fu.nis / n_meas
         return new_state
 

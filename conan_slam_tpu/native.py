@@ -30,12 +30,13 @@ def _load():
     if not os.path.exists(_LIB_PATH):
         subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
     lib = ctypes.CDLL(_LIB_PATH)
-    lib.run_ekf_baseline_ex.restype = ctypes.c_int64
-    lib.run_ekf_baseline_ex.argtypes = [
+    lib.run_ekf_baseline_v2.restype = ctypes.c_int64
+    lib.run_ekf_baseline_v2.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int,      # landmarks
         ctypes.POINTER(ctypes.c_float), ctypes.c_int,      # waypoints
         ctypes.c_int, ctypes.c_uint64, ctypes.c_int,       # max_steps, seed, noise
         ctypes.c_int, ctypes.c_float,                      # prebuild_map, sigma0
+        ctypes.c_int,                                      # opt (SIMD path)
         ctypes.POINTER(ctypes.c_double),                   # out seconds
         ctypes.POINTER(ctypes.c_float),                    # out ate
         ctypes.POINTER(ctypes.c_float),                    # out traj (nullable)
@@ -137,11 +138,14 @@ def run_ekf_baseline(
     want_trajectory: bool = False,
     prebuild_map: bool = False,
     sigma0: float = 1.0,
+    opt: bool = False,
 ) -> BaselineResult:
     """Run the native C++ EKF-SLAM on the given world (row-major (N, 2)).
 
     ``prebuild_map`` starts from a fully-registered map (steady-state
-    tracking benchmark) instead of an empty one.
+    tracking benchmark) instead of an empty one.  ``opt`` selects the
+    SIMD-scheduled update path (the honest single-core CPU bound) instead of
+    the reference-style scalar loops.
     """
     lib = _load()
     lm = np.ascontiguousarray(landmarks, dtype=np.float32)
@@ -154,11 +158,11 @@ def run_ekf_baseline(
         if traj is not None
         else ctypes.POINTER(ctypes.c_float)()
     )
-    steps = lib.run_ekf_baseline_ex(
+    steps = lib.run_ekf_baseline_v2(
         lm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), lm.shape[0],
         wp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), wp.shape[0],
         max_steps, seed, int(with_noise), int(prebuild_map), sigma0,
-        ctypes.byref(secs), ctypes.byref(ate), traj_ptr,
+        int(opt), ctypes.byref(secs), ctypes.byref(ate), traj_ptr,
     )
     secs_v = max(secs.value, 1e-9)
     return BaselineResult(

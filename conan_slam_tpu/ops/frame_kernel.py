@@ -65,49 +65,10 @@ def _row_selector(rows_ref, d):
     ).astype(jnp.float32)
 
 
-def _chain_core(e, hc, prows, bmat, vtf, rmat, v2, s_scr):
-    """Shared chain math (see module docstring) on VALUE arrays; returns
-    ``(pht, si, siv)`` with shapes (MP, D), (MP, MP), (1, MP)."""
-    f32 = jnp.float32
-
-    # P' H^T row strips: compact H against the gathered rows of P, plus the
-    # factored frame correction (Hc Vrows) B Vt.
-    vrows_t = jax.lax.dot_general(
-        vtf, e,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32,
-    )                                                       # (NBP, RP)
-    hvm = jax.lax.dot_general(
-        hc, vrows_t,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=f32,
-    )                                                       # (MP, NBP)
-    hvb = jax.lax.dot_general(
-        hvm, bmat,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32,
-    )
-    pht = jax.lax.dot_general(
-        hc, prows,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32,
-    ) + jax.lax.dot_general(
-        hvb, vtf,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32,
-    )
-
-    # S = phtT[:, rows] Hc^T + R.
-    psub = jax.lax.dot_general(
-        pht, e, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32,
-    )                                                       # (MP, RP)
-    s = jax.lax.dot_general(
-        psub, hc, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=f32,
-    ) + rmat
-
-    # Jacobi scaling (unit diagonal) then the in-register symmetric sweep.
+def _sweep_si(s, s_scr):
+    """Jacobi-scaled symmetric sweep inverse of ``s`` using the VMEM scratch
+    ``s_scr`` as the in-place accumulator; returns S^-1 (zero on non-finite,
+    the degrade-don't-crash contract of slam.h:431-434)."""
     mp = s.shape[0]
     i2 = jax.lax.broadcasted_iota(jnp.int32, (mp, mp), 0)
     j2 = jax.lax.broadcasted_iota(jnp.int32, (mp, mp), 1)
@@ -118,11 +79,57 @@ def _chain_core(e, hc, prows, bmat, vtf, rmat, v2, s_scr):
     sweep_ref_inverse(s_scr)
     si = s_scr[:, :] * dsc * dsc_row
     finite = jnp.all(jnp.isfinite(si))
-    si = jnp.where(finite, si, 0.0)
+    return jnp.where(finite, si, 0.0)
+
+
+def _chain_core(e, hc, prows, bmat, vtf, rmat, v2, s_scr):
+    """Shared chain math (see module docstring) on VALUE arrays; returns
+    ``(pht, si, siv)`` with shapes (MP, D), (MP, MP), (1, MP)."""
+    f32 = jnp.float32
+
+    # P' H^T row strips: compact H against the gathered rows of P, plus the
+    # factored frame correction (Hc Vrows) B Vt.
+    vrows_t = jax.lax.dot_general(
+        vtf, e,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32, precision=PRECISION,
+    )                                                       # (NBP, RP)
+    hvm = jax.lax.dot_general(
+        hc, vrows_t,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32, precision=PRECISION,
+    )                                                       # (MP, NBP)
+    hvb = jax.lax.dot_general(
+        hvm, bmat,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32, precision=PRECISION,
+    )
+    pht = jax.lax.dot_general(
+        hc, prows,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32, precision=PRECISION,
+    ) + jax.lax.dot_general(
+        hvb, vtf,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32, precision=PRECISION,
+    )
+
+    # S = phtT[:, rows] Hc^T + R.
+    psub = jax.lax.dot_general(
+        pht, e, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32, precision=PRECISION,
+    )                                                       # (MP, RP)
+    s = jax.lax.dot_general(
+        psub, hc, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32, precision=PRECISION,
+    ) + rmat
+
+    # Jacobi scaling (unit diagonal) then the in-register symmetric sweep.
+    si = _sweep_si(s, s_scr)
 
     siv = jax.lax.dot_general(
         v2, si, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32,
+        preferred_element_type=f32, precision=PRECISION,
     )                                                       # (1, MP)
     return pht, si, siv
 
@@ -141,17 +148,17 @@ def _mega_kernel(rows_ref, hc_ref, prows_ref, bmat_ref, vtf_ref,
     siv_ref[:, :] = siv
     dx_ref[:, :] = jax.lax.dot_general(
         siv, pht, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32,
+        preferred_element_type=f32, precision=PRECISION,
     )
     nis_ref[0, 0] = jnp.sum(siv * v_ref[:, :])
     nsipht_ref[:, :] = -jax.lax.dot_general(
         si, pht, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32,
+        preferred_element_type=f32, precision=PRECISION,
     )
     bvt_ref[:, :] = jax.lax.dot_general(
         bmat_ref[:, :], vtf_ref[:, :],
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32,
+        preferred_element_type=f32, precision=PRECISION,
     )
 
 
@@ -252,16 +259,16 @@ def _fused_kernel(rows_ref, hc_ref, prows_ref, bmat_ref, vtf_ref,
         phtt_scr[:, :] = pht.T
         nsipht_scr[:, :] = -jax.lax.dot_general(
             si, pht, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
+            preferred_element_type=f32, precision=PRECISION,
         )
         bvt_scr[:, :] = jax.lax.dot_general(
             bmat_ref[:, :], vtf_ref[:, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
+            preferred_element_type=f32, precision=PRECISION,
         )
         dx_ref[:, :] = jax.lax.dot_general(
             siv, pht, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
+            preferred_element_type=f32, precision=PRECISION,
         )
         nis_ref[0, 0] = jnp.sum(siv * v_ref[:, :])
 
@@ -270,12 +277,12 @@ def _fused_kernel(rows_ref, hc_ref, prows_ref, bmat_ref, vtf_ref,
         + jax.lax.dot_general(
             vtfp_ref[:, :], bvt_scr[:, :],
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=f32,
+            preferred_element_type=f32, precision=PRECISION,
         )
         + jax.lax.dot_general(
             phtt_scr[pl.ds(i * tr, tr), :], nsipht_scr[:, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
+            preferred_element_type=f32, precision=PRECISION,
         )
     )
 
@@ -433,15 +440,16 @@ def _atan2(y, x):
     return jnp.where(y < 0.0, -r, r)
 
 
-def _observe_core(x_row, zin, rsc, e, mp, rp):
+def _observe_core(xrows, zin, rsc, mp, rp):
     """In-kernel range-bearing observe + operator assembly.
 
     Args (values / refs):
-      x_row: (1, D) post-frame state mean.
+      xrows: (1, RP) post-frame state mean at the gathered rows
+             [px, py, phi, f0x, f0y, f1x, f1y, ...] (host-side gather —
+             keeps the (D, RP) one-hot selector out of kernel VMEM).
       zin:   (8, NZL) packed per-measurement inputs — rows 0/1/2 = z_range,
              z_bearing, mask (1.0 valid); rows 3..7 zero padding.
       rsc:   SMEM (4,) measurement-noise 2x2 entries [r00, r01, r10, r11].
-      e:     (D, RP) one-hot row selector from ``_row_selector``.
       mp, rp: padded measurement-row / gathered-row counts; NZL = MP // 2.
 
     Returns ``(hc, rmat, v2)``: the compact (MP, RP) measurement operator,
@@ -455,11 +463,6 @@ def _observe_core(x_row, zin, rsc, e, mp, rp):
     f32 = jnp.float32
     nzl = mp // 2
 
-    # x at the gathered rows: [px, py, phi, f0x, f0y, f1x, f1y, ...].
-    xrows = jax.lax.dot_general(
-        x_row, e, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32,
-    )                                                     # (1, RP)
     # Static selectors (iota only — no data-dependent layout).
     i_r = jax.lax.broadcasted_iota(jnp.int32, (rp, nzl), 0)
     j_r = jax.lax.broadcasted_iota(jnp.int32, (rp, nzl), 1)
@@ -467,11 +470,11 @@ def _observe_core(x_row, zin, rsc, e, mp, rp):
     sy = (i_r == 4 + 2 * j_r).astype(f32)
     fx = jax.lax.dot_general(
         xrows, sx, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32,
+        preferred_element_type=f32, precision=PRECISION,
     )                                                     # (1, NZL)
     fy = jax.lax.dot_general(
         xrows, sy, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32,
+        preferred_element_type=f32, precision=PRECISION,
     )
 
     px = xrows[:, 0:1]
@@ -508,7 +511,7 @@ def _observe_core(x_row, zin, rsc, e, mp, rp):
         return jax.lax.dot_general(
             row_sel * vals, col_sel,
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
+            preferred_element_type=f32, precision=PRECISION,
         )
 
     xdm = xd * m
@@ -528,17 +531,17 @@ def _observe_core(x_row, zin, rsc, e, mp, rp):
     spr_b = jnp.transpose(r_odd)
     v2 = jax.lax.dot_general(
         vr, spr_r, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32,
+        preferred_element_type=f32, precision=PRECISION,
     ) + jax.lax.dot_general(
         vb, spr_b, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32,
+        preferred_element_type=f32, precision=PRECISION,
     )
 
     # Block-diagonal R with identity on masked/padded rows.
     mcol = jax.lax.dot_general(
         r_even + r_odd, jnp.transpose(m),
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32,
+        preferred_element_type=f32, precision=PRECISION,
     )                                                     # (MP, 1)
     evenc = jnp.sum(r_even, axis=1, keepdims=True)        # (MP, 1) 1 @ even
     oddc = jnp.sum(r_odd, axis=1, keepdims=True)
@@ -552,39 +555,86 @@ def _observe_core(x_row, zin, rsc, e, mp, rp):
     return hc, rmat, v2
 
 
-def _fullframe_kernel(rows_ref, zin_ref, rsc_ref, x_ref, prows_ref,
-                      bmat_ref, vtf_ref, vtfp_ref, p_ref,
+def _fullframe_kernel(zin_ref, rsc_ref, x_ref, xrows_ref, prows_ref, prc_ref,
+                      bmat_ref, vtf_ref, vrows_ref, vtfp_ref, p_ref,
                       out_ref, xn_ref, nis_ref,
                       phtt_scr, nsipht_scr, bvt_scr, s_scr, *, tr):
+    """Whole-frame kernel body; see ``frame_update_obs``.
+
+    VMEM discipline (the round-1 regression was a 17.99M > 16M scoped-vmem
+    OOM at D=2304): no (D, RP) one-hot selector — the row/column gathers of
+    P, vtf and x arrive pre-gathered from the host (prc/vrows/xrows) — and
+    phtT is built directly D-major into scratch, so neither the (MP, D) pht
+    value nor its (D, MP) transpose temporary is ever materialised.
+    """
     f32 = jnp.float32
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _chain():
-        d = prows_ref.shape[1]
-        mp = 2 * zin_ref.shape[1]
-        rp = rows_ref.shape[1]
-        e = _row_selector(rows_ref, d)
+        mp = s_scr.shape[0]
+        rp = prows_ref.shape[0]
         hc, rmat, v2 = _observe_core(
-            x_ref[:, :], zin_ref[:, :], rsc_ref, e, mp, rp
+            xrows_ref[:, :], zin_ref[:, :], rsc_ref, mp, rp
         )
-        pht, si, siv = _chain_core(
-            e, hc, prows_ref[:, :], bmat_ref[:, :], vtf_ref[:, :], rmat, v2,
-            s_scr,
+        # Factored-frame coupling (Hc V[rows]) B.
+        hvm = jax.lax.dot_general(
+            hc, vrows_ref[:, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32, precision=PRECISION,
+        )                                                   # (MP, NBP)
+        hvb = jax.lax.dot_general(
+            hvm, bmat_ref[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=PRECISION,
+        )                                                   # (MP, NBP)
+        # phtT = P' H^T built directly (D, MP): prows^T hc^T + vtf^T hvb^T.
+        # Two sequential stores bound the live temporary at one (D, MP).
+        phtt_scr[:, :] = jax.lax.dot_general(
+            prows_ref[:, :], hc,
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=f32, precision=PRECISION,
         )
-        phtt_scr[:, :] = pht.T
+        phtt_scr[:, :] += jax.lax.dot_general(
+            vtf_ref[:, :], hvb,
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=f32, precision=PRECISION,
+        )
+        # S = pht[:, rows] hc^T + R with pht[:, rows] = hc prc + hvb vrows
+        # (prc = P[rows][:, rows], vrows = vtf[:, rows], both host gathers).
+        psub = jax.lax.dot_general(
+            hc, prc_ref[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=PRECISION,
+        ) + jax.lax.dot_general(
+            hvb, vrows_ref[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=PRECISION,
+        )                                                   # (MP, RP)
+        s = jax.lax.dot_general(
+            psub, hc,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32, precision=PRECISION,
+        ) + rmat
+        si = _sweep_si(s, s_scr)
+        siv = jax.lax.dot_general(
+            v2, si, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=PRECISION,
+        )                                                   # (1, MP)
         nsipht_scr[:, :] = -jax.lax.dot_general(
-            si, pht, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
+            si, phtt_scr[:, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32, precision=PRECISION,
         )
         bvt_scr[:, :] = jax.lax.dot_general(
             bmat_ref[:, :], vtf_ref[:, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
+            preferred_element_type=f32, precision=PRECISION,
         )
         xn = x_ref[:, :] + jax.lax.dot_general(
-            siv, pht, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
+            siv, phtt_scr[:, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32, precision=PRECISION,
         )
         # Wrap the heading lane.
         laned = jax.lax.broadcasted_iota(jnp.int32, (1, xn.shape[1]), 1)
@@ -596,27 +646,71 @@ def _fullframe_kernel(rows_ref, zin_ref, rsc_ref, x_ref, prows_ref,
         + jax.lax.dot_general(
             vtfp_ref[:, :], bvt_scr[:, :],
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=f32,
+            preferred_element_type=f32, precision=PRECISION,
         )
         + jax.lax.dot_general(
             phtt_scr[pl.ds(i * tr, tr), :], nsipht_scr[:, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
+            preferred_element_type=f32, precision=PRECISION,
         )
     )
 
 
+class FrameUpdateObs(NamedTuple):
+    """Outputs of the whole-frame observe + update kernel."""
+
+    p: jax.Array        # (D, D)  updated covariance
+    x: jax.Array        # (D,)    UPDATED state mean (heading wrapped)
+    nis: jax.Array      # ()      stacked NIS
+
+
+def _pick_frame_tile(d: int, mp: int, rp: int, nbp: int) -> int:
+    """Row-panel size for the one-dispatch whole-frame schedule, or 0 if no
+    tile fits the VMEM budget.
+
+    Accounting (validated against an actual v5e Mosaic compile at
+    D=2304/MP=128/RP=136/NBP=24, where the allocator reported ~11 MiB for
+    this schedule against the 16 MiB scoped limit):
+      rows-of-D resident: prows (rp) + vtf & bvt scratch (2 nbp) + phtT &
+      nsipht scratch (2 mp) + x/xn (2) + step-0 dot temporaries (~2 mp);
+      small blocks: sweep scratch + S/si temps (3 mp^2) + prc (rp^2);
+      panels: double-buffered (tr, D) in and out.
+    The 12 MiB budget leaves ~4 MiB headroom for Mosaic stack slop.
+    """
+    if d % 128:
+        return 0
+    fixed = (rp + 2 * nbp + 4 * mp + 2) * d * 4 + (3 * mp * mp + rp * rp) * 4
+    for cand in (512, 256, 128):
+        if d % cand:
+            continue
+        if fixed + 4 * cand * d * 4 <= 12 * 2**20:
+            return cand
+    return 0
+
+
+def can_fuse_frame(d: int, nz: int, nb: int) -> bool:
+    """Whether ``frame_update_obs`` will run its one-dispatch TPU schedule at
+    these shapes (shared predicate for callers — filters.ekf.update picks the
+    megakernel branch with exactly this test)."""
+    mp = _round_up(2 * nz, 128)
+    rp = _round_up(3 + 2 * nz, 8)
+    nbp = _round_up(nb, 8)
+    return _pick_frame_tile(d, mp, rp, nbp) > 0
+
+
 def frame_update_obs(p, x, rows, zr, zb, mask, r_cov, bmat, vtf,
-                     *, interpret: bool = False):
+                     *, interpret: bool = False) -> FrameUpdateObs:
     """Whole observation frame — observe + operator build + measurement
     chain + P rank update — in ONE Pallas dispatch.
 
     On top of ``frame_update`` this moves the per-frame "glue" (range-bearing
     prediction and Jacobians against the post-frame state, compact-H /
     block-diagonal-R / stacked-innovation assembly) inside the kernel: the
-    host side supplies only the measurement buffer and slot rows.  The
-    observation model is re-derived from models.sensor.observe
-    (reference EKF::observeModel, EKF.cpp:354-404).
+    host side supplies only the measurement buffer, slot rows and three tiny
+    pre-gathered strips (x[rows], P[rows][:, rows], vtf[:, rows]) so no
+    (D, RP) selector ever enters kernel VMEM.  The observation model is
+    re-derived from models.sensor.observe (reference EKF::observeModel,
+    EKF.cpp:354-404).
 
     Args:
       p:     (D, D) frame-start covariance, D % 128 == 0 on the TPU path.
@@ -628,8 +722,7 @@ def frame_update_obs(p, x, rows, zr, zb, mask, r_cov, bmat, vtf,
       bmat:  (NB, NB) frame-factor middle matrix.
       vtf:   (NB, D) frame-factor row strip.
 
-    Returns ``FrameUpdate(p, dx, nis)`` where ``dx`` is the UPDATED state
-    mean (heading wrapped), not a correction.
+    Returns ``FrameUpdateObs(p, x, nis)`` — ``x`` is the updated state mean.
     """
     d = p.shape[0]
     nz = zr.shape[0]
@@ -645,29 +738,24 @@ def frame_update_obs(p, x, rows, zr, zb, mask, r_cov, bmat, vtf,
     zin = zin.at[1, :nz].set(jnp.where(mask, zb, 0.0))
     zin = zin.at[2, :nz].set(mask_f)
     rsc = jnp.asarray(r_cov, p.dtype).reshape(4)
-    rows_p = jnp.full((1, rp), -1, jnp.int32).at[0, : rows.shape[0]].set(rows)
-    prows = jnp.pad(p[rows], ((0, rp - rows.shape[0]), (0, 0)))
+    nr = rows.shape[0]
+    prows_u = p[rows]                                       # (R, D)
+    prows = jnp.pad(prows_u, ((0, rp - nr), (0, 0)))
+    prc = jnp.pad(prows_u[:, rows], ((0, rp - nr), (0, rp - nr)))
+    vrows = jnp.pad(vtf[:, rows], ((0, nbp - nb), (0, rp - nr)))
+    xrows = jnp.pad(x[rows], (0, rp - nr)).reshape(1, rp)
     bmat = jnp.pad(bmat, ((0, nbp - nb), (0, nbp - nb)))
     vtf = jnp.pad(vtf, ((0, nbp - nb), (0, 0)))
     x_row = x.reshape(1, d)
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
-    use_kernel = (on_tpu or interpret) and d % 128 == 0
-    fixed = (2 * rp + 3 * mp + 2 * nbp) * d * 4 + 2 * mp * mp * 4
-    tr = 0
-    if use_kernel:
-        for cand in (512, 256, 128):
-            if d % cand:
-                continue
-            if fixed + 4 * cand * d * 4 <= 13 * 2**20:
-                tr = cand
-                break
-    if interpret or (use_kernel and tr):
-        pass
-    else:
+    use_kernel = on_tpu or interpret
+    tr = _pick_frame_tile(d, mp, rp, nbp) if use_kernel else 0
+    if not (use_kernel and tr):
         # jnp reference: identical glue algebra on the host side.
+        rows_p = jnp.full((rp,), -1, jnp.int32).at[:nr].set(rows)
         return _frame_update_obs_reference(
-            p, x_row, rows_p[0], prows, zin, rsc, bmat, vtf, mp, rp
+            p, x_row, rows_p, prows, zin, rsc, bmat, vtf, mp, rp
         )
 
     f32 = p.dtype
@@ -686,13 +774,15 @@ def frame_update_obs(p, x, rows, zr, zb, mask, r_cov, bmat, vtf,
         ),
         grid=(d // tr,),
         in_specs=[
-            pl.BlockSpec((1, rp), bcast, memory_space=pltpu.VMEM),
             pl.BlockSpec((8, nzl), bcast, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, d), bcast, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rp), bcast, memory_space=pltpu.VMEM),
             pl.BlockSpec((rp, d), bcast, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp, rp), bcast, memory_space=pltpu.VMEM),
             pl.BlockSpec((nbp, nbp), bcast, memory_space=pltpu.VMEM),
             pl.BlockSpec((nbp, d), bcast, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbp, rp), bcast, memory_space=pltpu.VMEM),
             pl.BlockSpec((nbp, tr), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((tr, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
@@ -709,8 +799,8 @@ def frame_update_obs(p, x, rows, zr, zb, mask, r_cov, bmat, vtf,
         ],
         cost_estimate=cost,
         interpret=interpret,
-    )(rows_p, zin, rsc, x_row, prows, bmat, vtf, vtf, p)
-    return FrameUpdate(p=p_out, dx=xn[0], nis=nis[0, 0])
+    )(zin, rsc, x_row, xrows, prows, prc, bmat, vtf, vrows, vtf, p)
+    return FrameUpdateObs(p=p_out, x=xn[0], nis=nis[0, 0])
 
 
 def _frame_update_obs_reference(p, x_row, rows, prows, zin, rsc, bmat, vtf,
@@ -762,7 +852,7 @@ def _frame_update_obs_reference(p, x_row, rows, prows, zin, rsc, bmat, vtf,
     p_out = rank_update_t2_reference(p, vtf, chain.bvt, chain.pht, chain.nsipht)
     xn = x_row[0] + chain.dx
     xn = xn.at[2].set(wrap_angle(xn[2]))
-    return FrameUpdate(p=p_out, dx=xn, nis=chain.nis)
+    return FrameUpdateObs(p=p_out, x=xn, nis=chain.nis)
 
 
 def _measurement_chain_reference(prows, rows, hc, bmat, vtf, rmat, v2):

@@ -87,7 +87,7 @@ def rank_update_t(p, vt, b, *, interpret: bool = False):
         out_ref[:, :] = p_ref[:, :] + jax.lax.dot_general(
             vt_ref[:, :], vbt_ref[:, :],
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=PRECISION,
         )
 
     if d % 128 == 0:
@@ -177,12 +177,12 @@ def rank_update_t2(p, vt1, vbt1, vt2, vbt2, *, interpret: bool = False):
             + jax.lax.dot_general(
                 vt1_ref[:, :], vbt1_ref[:, :],
                 dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=PRECISION,
             )
             + jax.lax.dot_general(
                 vt2_ref[:, :], vbt2_ref[:, :],
                 dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=PRECISION,
             )
         )
 
@@ -289,7 +289,7 @@ def rank_update_downdate(p, v, b, w1=None, *, interpret: bool = False):
             def row_kernel(p_ref, vb_ref, vt_ref, out_ref):
                 out_ref[:, :] = p_ref[:, :] + jnp.dot(
                     vb_ref[:, :], vt_ref[:, :],
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=jnp.float32, precision=PRECISION,
                 )
 
             return pl.pallas_call(
@@ -317,7 +317,8 @@ def rank_update_downdate(p, v, b, w1=None, *, interpret: bool = False):
 
     def kernel(p_ref, vb_ref, vt_ref, out_ref):
         out_ref[:, :] = p_ref[:, :] + jnp.dot(
-            vb_ref[:, :], vt_ref[:, :], preferred_element_type=jnp.float32
+            vb_ref[:, :], vt_ref[:, :],
+            preferred_element_type=jnp.float32, precision=PRECISION,
         )
 
     return pl.pallas_call(

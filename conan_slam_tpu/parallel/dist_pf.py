@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from conan_slam_tpu.filters.pf.state import ParticleEnsemble
@@ -46,3 +47,112 @@ def constrain(ens: ParticleEnsemble, mesh, axis: str = PARTICLE_AXIS) -> Particl
     """In-jit sharding constraint keeping the ensemble on its layout."""
     shardings = particle_sharding(mesh, axis)
     return jax.tree_util.tree_map(jax.lax.with_sharding_constraint, ens, shardings)
+
+
+def sharded_resample(
+    mesh, ens: ParticleEnsemble, key, num_effective: float,
+    kind: str = "stratified", axis: str = PARTICLE_AXIS,
+) -> ParticleEnsemble:
+    """Explicit shard_map resampling with a ring ``ppermute`` exchange.
+
+    The implicit path (a sharded ``take`` left to the GSPMD partitioner) is
+    correct but its communication schedule is whatever XLA emits; this is the
+    hand-scheduled equivalent with an explicit, auditable wire cost:
+
+      * weights: one (1,) psum for the total + Neff, one (n_shards,)
+        all_gather of shard partial sums, one tiled all_gather of the (N,)
+        global CDF — O(N) floats, independent of map size.
+      * payload: a ring of ``n_shards`` ``ppermute`` steps rotating each
+        shard's (chunk, ...) particle block once around the mesh; every shard
+        copies the rows it needs as each block passes — O(N x payload) bytes
+        total on the wire, the unavoidable cost of an arbitrary cross-shard
+        permutation, but moved over ICI neighbour links with bounded
+        per-step memory (one visiting block) instead of an opaque all-to-all.
+
+    Index semantics match filters.pf.resample exactly (same stratified /
+    systematic uniforms from the same key, sliced per shard), so the result
+    equals the single-device resample up to float32 cumsum reassociation.
+    Resampling is applied iff the replicated Neff < ``num_effective``
+    (selected by masking — collectives run unconditionally, which shard_map
+    requires anyway).
+    """
+    n = ens.num_particles
+    n_shards = mesh.shape[axis]
+    chunk = n // n_shards
+    assert chunk * n_shards == n, (n, n_shards)
+    k_idx, _ = jax.random.split(key)
+
+    def kernel(log_w_l, pose_l, pose_cov_l, xf_l, pf_l):
+        i = jax.lax.axis_index(axis)
+        # Replicated-safe weight normalisation (log-space, global max).
+        m = jax.lax.pmax(jnp.max(log_w_l), axis)
+        w_l = jnp.exp(log_w_l - m)
+        tot = jax.lax.psum(jnp.sum(w_l), axis)
+        w_l = w_l / jnp.maximum(tot, 1e-30)
+        neff = 1.0 / jnp.maximum(jax.lax.psum(jnp.sum(w_l * w_l), axis), 1e-30)
+
+        # Global CDF: shard-prefix offset + local cumsum, all-gathered (O(N)).
+        sums = jax.lax.all_gather(jnp.sum(w_l), axis)             # (n_shards,)
+        prefix = jnp.sum(jnp.where(jnp.arange(n_shards) < i, sums, 0.0))
+        cum_l = prefix + jnp.cumsum(w_l)
+        cum = jax.lax.all_gather(cum_l, axis, axis=0, tiled=True)  # (N,)
+
+        # Stratified/systematic strata for THIS shard's output slots, drawn
+        # from the same replicated key as the single-device path.
+        base = i * chunk
+        slot = base + jnp.arange(chunk)
+        if kind == "systematic":
+            u0 = jax.random.uniform(k_idx, (), dtype=w_l.dtype)
+            u = (slot.astype(w_l.dtype) + u0) / n
+        else:
+            u_all = jax.random.uniform(k_idx, (n,), dtype=w_l.dtype)
+            u_l = jax.lax.dynamic_slice_in_dim(u_all, base, chunk)
+            u = (slot.astype(w_l.dtype) + u_l) / n
+        idx_g = jnp.clip(jnp.searchsorted(cum, u), 0, n - 1)       # global ids
+
+        perm = [(s, (s + 1) % n_shards) for s in range(n_shards)]
+
+        def ring_gather(payload_l):
+            tail = (1,) * (payload_l.ndim - 1)
+
+            def body(t, carry):
+                blk, out = carry
+                owner = (i - t) % n_shards
+                local = idx_g - owner * chunk
+                hit = jnp.logical_and(local >= 0, local < chunk)
+                take = blk[jnp.clip(local, 0, chunk - 1)]
+                out = jnp.where(hit.reshape((-1,) + tail), take, out)
+                blk = jax.lax.ppermute(blk, axis, perm)
+                return blk, out
+
+            # payload_l * 0 (not jnp.zeros): keeps the accumulator varying
+            # over the particle axis so the fori_loop carry types match.
+            out0 = payload_l * 0
+            _, out = jax.lax.fori_loop(0, n_shards, body, (payload_l, out0))
+            return out
+
+        do = neff < num_effective
+
+        def sel(new, old):
+            return jnp.where(
+                jnp.reshape(do, (1,) * old.ndim), new, old
+            )
+
+        pose_n = sel(ring_gather(pose_l), pose_l)
+        pose_cov_n = sel(ring_gather(pose_cov_l), pose_cov_l)
+        xf_n = sel(ring_gather(xf_l), xf_l)
+        pf_n = sel(ring_gather(pf_l), pf_l)
+        logw_n = jnp.where(
+            do, jnp.full((chunk,), -jnp.log(float(n)), log_w_l.dtype), log_w_l
+        )
+        return logw_n, pose_n, pose_cov_n, xf_n, pf_n
+
+    logw, pose, pose_cov, xf, pf = shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+    )(ens.log_w, ens.pose, ens.pose_cov, ens.xf, ens.pf)
+    return ens._replace(
+        log_w=logw, pose=pose, pose_cov=pose_cov, xf=xf, pf=pf
+    )

@@ -194,6 +194,167 @@ struct EkfSlam {
       }
   }
 
+  // ---- optimized (vectorizable) variants ----------------------------------
+  //
+  // Same algebra as update()/observe_heading() but scheduled for the SIMD
+  // units: every O(d) / O(d^2) loop is a contiguous row operation (axpy/FMA
+  // over the d-length rows of P), exploiting P's symmetry to turn the
+  // column reads of the naive path into row reads (the same row-gather idea
+  // as the TPU measurement operator).  Single-threaded, like the reference.
+
+  void observe_heading_opt(float phi_meas, float sigma) {
+    const int d = dim();
+    const float r = sigma * sigma;
+    const float s = p.at(2, 2) + r;
+    // pc = P[:, 2] = P[2, :] (symmetry): one contiguous row read.
+    std::vector<float> pc(p.a.begin() + static_cast<size_t>(2) * d,
+                          p.a.begin() + static_cast<size_t>(3) * d);
+    const float inv_s = 1.0f / s;
+    const float v = wrap_angle(phi_meas - x[2]);
+    for (int i = 0; i < d; ++i) x[i] += pc[i] * inv_s * v;
+    // P += -w pc^T - pc w^T + s w w^T, rows: row_i += a_i pc + b_i pc
+    // with w = pc/s:  a_i = -w_i, b_i = (s w_i - pc_i)/s = 0... combine:
+    // row_i += (-pc_i/s) pc + (pc_i - pc_i) ... exactly: -w_i pc - pc_i w
+    // + s w_i w = (-pc_i/s) pc + pc_i (-pc/s) + (pc_i/s) pc = (-pc_i/s) pc.
+    // (Joseph rank-1 with H = e2^T collapses to one axpy per row.)
+    for (int i = 0; i < d; ++i) {
+      float* __restrict row = &p.a[static_cast<size_t>(i) * d];
+      const float a = -pc[i] * inv_s;
+      const float* __restrict pcp = pc.data();
+      for (int c = 0; c < d; ++c) row[c] += a * pcp[c];
+    }
+  }
+
+  void update_opt(const std::vector<float>& z, const std::vector<int>& feat_idx,
+                  const float re[4]) {
+    const int m = static_cast<int>(feat_idx.size());
+    if (m == 0) return;
+    const int d = dim();
+    const int K = 2 * m;
+    std::vector<float> hv(6 * m), hf(4 * m), v(2 * m);
+    for (int i = 0; i < m; ++i) {
+      const int fp = nxv + 2 * feat_idx[i];
+      const float dx = x[fp] - x[0], dy = x[fp + 1] - x[1];
+      const float d2 = dx * dx + dy * dy, dist = std::sqrt(d2);
+      hv[6 * i + 0] = -dx / dist; hv[6 * i + 1] = -dy / dist; hv[6 * i + 2] = 0;
+      hv[6 * i + 3] = dy / d2;    hv[6 * i + 4] = -dx / d2;   hv[6 * i + 5] = -1;
+      hf[4 * i + 0] = dx / dist;  hf[4 * i + 1] = dy / dist;
+      hf[4 * i + 2] = -dy / d2;   hf[4 * i + 3] = dx / d2;
+      v[2 * i] = z[2 * i] - dist;
+      v[2 * i + 1] = wrap_angle(z[2 * i + 1] - (std::atan2(dy, dx) - x[2]));
+    }
+    // AT = (H P)^T stored (K, d) row-major: each row is a 5-term combination
+    // of contiguous ROWS of the symmetric P (P[:, c] == P[c, :]).
+    std::vector<float> at(static_cast<size_t>(K) * d);
+    for (int i = 0; i < m; ++i) {
+      const int fp = nxv + 2 * feat_idx[i];
+      const float* __restrict p0 = &p.a[0];
+      const float* __restrict p1 = &p.a[static_cast<size_t>(1) * d];
+      const float* __restrict p2 = &p.a[static_cast<size_t>(2) * d];
+      const float* __restrict pf0 = &p.a[static_cast<size_t>(fp) * d];
+      const float* __restrict pf1 = &p.a[static_cast<size_t>(fp + 1) * d];
+      for (int rr = 0; rr < 2; ++rr) {
+        float* __restrict out = &at[static_cast<size_t>(2 * i + rr) * d];
+        const float a0 = hv[6 * i + 3 * rr], a1 = hv[6 * i + 3 * rr + 1],
+                    a2 = hv[6 * i + 3 * rr + 2];
+        const float b0 = hf[4 * i + 2 * rr], b1 = hf[4 * i + 2 * rr + 1];
+        for (int c = 0; c < d; ++c)
+          out[c] = a0 * p0[c] + a1 * p1[c] + a2 * p2[c] + b0 * pf0[c] + b1 * pf1[c];
+      }
+    }
+    // S = H (AT^T) + R via the same 5-term sparsity (K x K, tiny).
+    Mat s(K, K);
+    for (int i = 0; i < m; ++i) {
+      const int fp = nxv + 2 * feat_idx[i];
+      for (int rr = 0; rr < 2; ++rr)
+        for (int c = 0; c < K; ++c) {
+          const float* __restrict col = &at[static_cast<size_t>(c) * d];
+          s.at(2 * i + rr, c) =
+              hv[6 * i + 3 * rr] * col[0] + hv[6 * i + 3 * rr + 1] * col[1] +
+              hv[6 * i + 3 * rr + 2] * col[2] +
+              hf[4 * i + 2 * rr] * col[fp] + hf[4 * i + 2 * rr + 1] * col[fp + 1];
+        }
+      s.at(2 * i, 2 * i) += re[0];
+      s.at(2 * i + 1, 2 * i + 1) += re[3];
+    }
+    for (int r = 0; r < K; ++r)
+      for (int c = r + 1; c < K; ++c) {
+        const float avg = 0.5f * (s.at(r, c) + s.at(c, r));
+        s.at(r, c) = avg; s.at(c, r) = avg;
+      }
+    // Cholesky factor S (in place), then W = S^-1 AT via two triangular
+    // substitutions vectorized over the d contiguous columns of AT, and
+    // y0 = S^-1 v (scalar RHS).
+    for (int j = 0; j < K; ++j) {
+      float diag = s.at(j, j);
+      for (int k = 0; k < j; ++k) diag -= s.at(j, k) * s.at(j, k);
+      if (diag <= 0.0f) return;  // degrade-don't-crash
+      const float lj = std::sqrt(diag);
+      s.at(j, j) = lj;
+      for (int i = j + 1; i < K; ++i) {
+        float val = s.at(i, j);
+        for (int k = 0; k < j; ++k) val -= s.at(i, k) * s.at(j, k);
+        s.at(i, j) = val / lj;
+      }
+    }
+    std::vector<float> w = std::move(at);  // solve in place: AT -> W
+    std::vector<float> y0(v);
+    for (int i = 0; i < K; ++i) {          // forward: L z = rhs
+      float* __restrict wi = &w[static_cast<size_t>(i) * d];
+      for (int k = 0; k < i; ++k) {
+        const float l = s.at(i, k);
+        const float* __restrict wk = &w[static_cast<size_t>(k) * d];
+        for (int c = 0; c < d; ++c) wi[c] -= l * wk[c];
+        y0[i] -= l * y0[k];
+      }
+      const float inv = 1.0f / s.at(i, i);
+      for (int c = 0; c < d; ++c) wi[c] *= inv;
+      y0[i] *= inv;
+    }
+    for (int i = K - 1; i >= 0; --i) {     // backward: L^T y = z
+      float* __restrict wi = &w[static_cast<size_t>(i) * d];
+      for (int k = i + 1; k < K; ++k) {
+        const float l = s.at(k, i);
+        const float* __restrict wk = &w[static_cast<size_t>(k) * d];
+        for (int c = 0; c < d; ++c) wi[c] -= l * wk[c];
+        y0[i] -= l * y0[k];
+      }
+      const float inv = 1.0f / s.at(i, i);
+      for (int c = 0; c < d; ++c) wi[c] *= inv;
+      y0[i] *= inv;
+    }
+    // x += PHT y0 = W^T(row space)... PHT[r, k] = (H P)[k, r]: the original
+    // strip is gone (solved in place), so accumulate x from W and S:
+    // x += PHT S^-1 v = (S^-1 PHT^T)^T v... W = S^-1 PHT^T (K, d):
+    // x[r] += sum_k W[k][r] * v[k]  (v, not y0 — W already carries S^-1).
+    for (int k = 0; k < K; ++k) {
+      const float* __restrict wk = &w[static_cast<size_t>(k) * d];
+      const float vk = v[k];
+      for (int r = 0; r < d; ++r) x[r] += wk[r] * vk;
+    }
+    x[2] = wrap_angle(x[2]);
+    // P -= PHT W = (W^T S) W ... use the factored downdate P -= U^T U with
+    // U = L^T W ((K, d), contiguous rows): P -= PHT S^-1 PHT^T = W^T S W
+    // and S = L L^T gives U = L^T W.
+    std::vector<float> u(static_cast<size_t>(K) * d, 0.0f);
+    for (int i = 0; i < K; ++i) {
+      float* __restrict ui = &u[static_cast<size_t>(i) * d];
+      for (int k = i; k < K; ++k) {
+        const float l = s.at(k, i);  // L^T[i, k] = L[k, i]
+        const float* __restrict wk = &w[static_cast<size_t>(k) * d];
+        for (int c = 0; c < d; ++c) ui[c] += l * wk[c];
+      }
+    }
+    for (int r = 0; r < d; ++r) {
+      float* __restrict row = &p.a[static_cast<size_t>(r) * d];
+      for (int k = 0; k < K; ++k) {
+        const float* __restrict uk = &u[static_cast<size_t>(k) * d];
+        const float a = -uk[r];
+        for (int c = 0; c < d; ++c) row[c] += a * uk[c];
+      }
+    }
+  }
+
   void augment(const std::vector<float>& z_new, const std::vector<int>& ids,
                const float re[4]) {
     for (size_t i = 0; i < ids.size(); ++i) {
@@ -238,9 +399,12 @@ extern "C" {
 
 // Runs the full valet-loop EKF-SLAM workload.  Returns the number of control
 // steps executed; writes wall seconds (filter only) and position ATE RMSE.
-int64_t run_ekf_baseline_ex(const float* lm_xy, int num_lm, const float* wp_xy,
+// ``opt``: 0 = straightforward scalar loops (the reference-style baseline),
+// 1 = SIMD-scheduled rows (the honest "how fast is this CPU really" bound).
+int64_t run_ekf_baseline_v2(const float* lm_xy, int num_lm, const float* wp_xy,
                             int num_wp, int max_steps, uint64_t seed,
                             int with_noise, int prebuild_map, float sigma0,
+                            int opt,
                             double* out_seconds, float* out_ate,
                             float* out_traj /* may be null, 3*max_steps */) {
   // Reference parameter set (SURVEY.md section 2.4).
@@ -308,7 +472,8 @@ int64_t run_ekf_baseline_ex(const float* lm_xy, int num_lm, const float* wp_xy,
       swan += gauss(rng) * sigma_swa;
     }
     ekf.predict(vn, swan, qe, wheel_base, dt);
-    ekf.observe_heading(xt[2], sigma_phi);
+    if (opt) ekf.observe_heading_opt(xt[2], sigma_phi);
+    else ekf.observe_heading(xt[2], sigma_phi);
 
     if ((step + 1) % observe_every == 0) {
       std::vector<float> zf, zn;
@@ -330,7 +495,8 @@ int64_t run_ekf_baseline_ex(const float* lm_xy, int num_lm, const float* wp_xy,
           zn.push_back(zr); zn.push_back(zb); idn.push_back(i);
         }
       }
-      ekf.update(zf, idf, re);
+      if (opt) ekf.update_opt(zf, idf, re);
+      else ekf.update(zf, idf, re);
       ekf.augment(zn, idn, re);
     }
     const double ex = xt[0] - ekf.x[0], ey = xt[1] - ekf.x[1];
@@ -348,13 +514,23 @@ int64_t run_ekf_baseline_ex(const float* lm_xy, int num_lm, const float* wp_xy,
   return steps;
 }
 
+int64_t run_ekf_baseline_ex(const float* lm_xy, int num_lm, const float* wp_xy,
+                            int num_wp, int max_steps, uint64_t seed,
+                            int with_noise, int prebuild_map, float sigma0,
+                            double* out_seconds, float* out_ate,
+                            float* out_traj) {
+  return run_ekf_baseline_v2(lm_xy, num_lm, wp_xy, num_wp, max_steps, seed,
+                             with_noise, prebuild_map, sigma0, /*opt=*/0,
+                             out_seconds, out_ate, out_traj);
+}
+
 int64_t run_ekf_baseline(const float* lm_xy, int num_lm, const float* wp_xy,
                          int num_wp, int max_steps, uint64_t seed,
                          int with_noise, double* out_seconds, float* out_ate,
                          float* out_traj) {
-  return run_ekf_baseline_ex(lm_xy, num_lm, wp_xy, num_wp, max_steps, seed,
+  return run_ekf_baseline_v2(lm_xy, num_lm, wp_xy, num_wp, max_steps, seed,
                              with_noise, /*prebuild_map=*/0, /*sigma0=*/1.0f,
-                             out_seconds, out_ate, out_traj);
+                             /*opt=*/0, out_seconds, out_ate, out_traj);
 }
 
 }  // extern "C"

@@ -209,7 +209,7 @@ def test_frame_update_obs_matches_host_glue():
             bmat, vtf, interpret=interpret,
         )
         np.testing.assert_allclose(
-            np.asarray(out.dx), np.asarray(ref_state.x), rtol=1e-4, atol=1e-4
+            np.asarray(out.x), np.asarray(ref_state.x), rtol=1e-4, atol=1e-4
         )
         np.testing.assert_allclose(
             np.asarray(out.p), np.asarray(ref_state.p), rtol=1e-3, atol=1e-4

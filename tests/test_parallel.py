@@ -137,6 +137,46 @@ def test_sharded_pf_pipeline_matches_single_device():
         )
 
 
+def test_sharded_resample_matches_single_device():
+    # Explicit shard_map ring-ppermute resample vs the single-device gather,
+    # same key => same stratified strata => identical particle selection.
+    mesh = make_mesh({PARTICLE_AXIS: 8})
+    n, k = 64, 4
+    ens = pf.init_ensemble(n, k, 8)
+    rng = np.random.default_rng(7)
+    ens = ens._replace(
+        pose=jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32)),
+        log_w=jnp.asarray(rng.normal(size=(n,)).astype(np.float32) * 2.0),
+        xf=jnp.asarray(rng.normal(size=(n, k, 2)).astype(np.float32)),
+    )
+    key = jax.random.PRNGKey(5)
+
+    for kind in ("stratified", "systematic"):
+        ref = jax.jit(
+            lambda e: pf.resample(e, key, num_effective=float(n), enabled=True,
+                                  kind=kind)
+        )(ens)
+        ens_sh = dist_pf.shard_ensemble(mesh, ens)
+        out = jax.jit(
+            lambda e: dist_pf.sharded_resample(mesh, e, key,
+                                               num_effective=float(n), kind=kind)
+        )(ens_sh)
+        for name in ("pose", "pose_cov", "xf", "pf", "log_w"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(out, name)), np.asarray(getattr(ref, name)),
+                rtol=1e-5, atol=1e-6, err_msg=f"{kind}:{name}",
+            )
+
+    # High-Neff ensemble: resample must be a no-op in both paths.
+    ens_flat = ens._replace(log_w=jnp.zeros((n,), jnp.float32))
+    out = jax.jit(
+        lambda e: dist_pf.sharded_resample(mesh, e, key, num_effective=0.5 * n)
+    )(dist_pf.shard_ensemble(mesh, ens_flat))
+    np.testing.assert_allclose(
+        np.asarray(out.pose), np.asarray(ens_flat.pose), atol=0
+    )
+
+
 def test_sharded_augment_matches_single_device():
     from conan_slam_tpu.filters import ekf
     from conan_slam_tpu.filters.common import CompactObs
