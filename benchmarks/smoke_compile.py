@@ -12,6 +12,10 @@ cannot see Mosaic VMEM limits) and broke the headline bench with a
       ``run_ekf_slam_precomputed`` at the full bench configuration — the
       same scan body bench.py compiles, so any kernel in the product path
       that stops lowering fails HERE, not in BENCH_r{N}.json.
+  stage "ate" (~6 s warm): the FULL-length bench run with ATE and
+      covariance-symmetry assertions — catches compounding per-frame error
+      (the round-2 asymmetry-feedback divergence) that per-frame and
+      short-program checks cannot see.
 
 Also asserts the shared VMEM-feasibility predicate ``can_fuse_frame`` says
 yes at the bench shape and no at a deliberately oversized one (so an
@@ -140,6 +144,44 @@ def stage_program() -> None:
     log("stage program: PASS")
 
 
+def stage_ate() -> None:
+    """Long-horizon accuracy gate: the full 9600-step bench run must track.
+
+    The round-2 regression this catches: the megakernel's sweep inverse fed
+    covariance asymmetry back with ~1%/frame gain — per-frame outputs matched
+    the reference to 5e-5 (stage kernel PASSED) and 10 steps were finite
+    (stage program PASSED), yet the filter diverged at frame ~1582.  Only a
+    full-length run sees compounding-error failures.  ~6 s warm via the
+    persistent cache; ~2 min cold.
+    """
+    import jax
+
+    import bench as bench_mod
+    from conan_slam_tpu.config import SlamConfig
+    from conan_slam_tpu.filters.ekf import init_state_with_map
+    from conan_slam_tpu.runner import metrics
+    from conan_slam_tpu.runner.loop import run_ekf_slam_precomputed
+
+    _, _, world = bench_mod.build_world()
+    cfg = SlamConfig(max_landmarks=bench_mod.N_LANDMARKS, max_obs=64)
+    state0 = init_state_with_map(world.landmarks, sigma0=bench_mod.SIGMA0)
+    t0 = time.perf_counter()
+    state, outs = run_ekf_slam_precomputed(
+        world, cfg, jax.random.PRNGKey(0), n_steps=bench_mod.BENCH_STEPS,
+        init_state=state0,
+    )
+    ate = float(metrics.ate_rmse(np.asarray(outs.x_est), np.asarray(outs.x_true)))
+    p = np.asarray(state.p)
+    asym = float(np.abs(p - p.T).max())
+    log(
+        f"ate stage ({bench_mod.BENCH_STEPS} steps, "
+        f"{time.perf_counter() - t0:.1f}s): ATE={ate:.4f} m, asym(P)={asym:.2e}"
+    )
+    assert ate < 0.05, f"long-horizon ATE {ate} — filter diverges/degrades"
+    assert asym < 1e-4, f"covariance asymmetry {asym} — update not symmetric"
+    log("stage ate: PASS")
+
+
 def main():
     import jax
 
@@ -154,6 +196,8 @@ def main():
         stage_kernel()
     if which in ("program", "all"):
         stage_program()
+    if which in ("ate", "all"):
+        stage_ate()
     log("smoke_compile: ALL PASS")
 
 

@@ -68,8 +68,19 @@ def _row_selector(rows_ref, d):
 def _sweep_si(s, s_scr):
     """Jacobi-scaled symmetric sweep inverse of ``s`` using the VMEM scratch
     ``s_scr`` as the in-place accumulator; returns S^-1 (zero on non-finite,
-    the degrade-don't-crash contract of slam.h:431-434)."""
+    the degrade-don't-crash contract of slam.h:431-434).
+
+    ``s`` is symmetrized first and the result symmetrized after — NOT
+    optional hygiene: ``sweep_ref_inverse`` reads pivot columns as rows
+    (valid only for symmetric input), so an asymmetric S (inherited from the
+    row-gathered strips of an asymmetric P) yields an S^-1 whose asymmetric
+    part is *proportional* to asym(P); the downdate -pht^T S^-1 pht then
+    feeds that asymmetry back into P with gain ~1%/frame — measured as
+    exponential asym growth 1e-7 -> 2e-2 over 1.5k frames and a divergent
+    filter.  spd_inverse (the multi-op path) applies the same two sym()s.
+    """
     mp = s.shape[0]
+    s = 0.5 * (s + jnp.transpose(s))
     i2 = jax.lax.broadcasted_iota(jnp.int32, (mp, mp), 0)
     j2 = jax.lax.broadcasted_iota(jnp.int32, (mp, mp), 1)
     diag = jnp.sum(jnp.where(i2 == j2, s, 0.0), axis=1, keepdims=True)
@@ -78,6 +89,7 @@ def _sweep_si(s, s_scr):
     s_scr[:, :] = s * dsc * dsc_row
     sweep_ref_inverse(s_scr)
     si = s_scr[:, :] * dsc * dsc_row
+    si = 0.5 * (si + jnp.transpose(si))
     finite = jnp.all(jnp.isfinite(si))
     return jnp.where(finite, si, 0.0)
 

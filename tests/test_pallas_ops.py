@@ -94,6 +94,47 @@ def test_spd_inverse_sweep_kernel():
         np.testing.assert_allclose(si, si.T, rtol=0, atol=np.abs(si).max() * 1e-6)
 
 
+def test_sweep_si_symmetrizes_asymmetric_input():
+    # Regression for the round-2 bench divergence: S inherits asymmetry from
+    # the row-gathered strips of an asymmetric P, and sweep_ref_inverse reads
+    # pivot columns as rows (valid only for symmetric input) — without the
+    # pre/post symmetrization in _sweep_si, asym(S^-1) is proportional to
+    # asym(P) and the downdate feeds it back with ~1%/frame gain
+    # (exponential growth 1e-7 -> 2e-2 over 1.5k frames, filter divergence
+    # at bench frame ~1582).  _sweep_si must invert sym(S) and return an
+    # exactly symmetric S^-1.
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from conan_slam_tpu.ops.frame_kernel import _sweep_si
+
+    rng = np.random.default_rng(5)
+    m = 128
+    a = rng.normal(size=(m, m)).astype(np.float32)
+    s = a @ a.T / m + np.eye(m, dtype=np.float32)
+    e = rng.normal(size=(m, m)).astype(np.float32) * 1e-3
+    s_asym = (s + (e - e.T)).astype(np.float32)
+
+    def kernel(s_ref, out_ref, scr):
+        out_ref[:, :] = _sweep_si(s_ref[:, :], scr)
+
+    si = np.asarray(
+        pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((m, m), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((m, m), jnp.float32)],
+            interpret=True,
+        )(jnp.asarray(s_asym))
+    )
+    # Broken (no symmetrization) gives asym(S^-1) ~ asym(S) ~ 1e-3 here;
+    # fixed is ~1e-8 (XLA reassociation keeps it from bitwise zero).
+    assert np.abs(si - si.T).max() < 1e-6, "S^-1 must be symmetric"
+    ref = np.linalg.inv(0.5 * (s_asym + s_asym.T).astype(np.float64))
+    np.testing.assert_allclose(si, ref, rtol=5e-3, atol=1e-4)
+
+
 def test_spd_inverse_guard_degrades_gracefully():
     from conan_slam_tpu.ops.spd_inverse import spd_inverse
 
