@@ -192,15 +192,22 @@ def main(modes):
         return run
 
     def timeit(name, fn, *args):
+        # Fence on the SMALLEST output leaf: fetching a large leaf (e.g. the
+        # carried (D, D) covariance) pays a ~multi-hundred-us/iteration
+        # device->host transfer over the remote tunnel and poisons the
+        # measurement.
+        def fence(out):
+            leaves = [l for l in jax.tree_util.tree_leaves(out) if hasattr(l, "size")]
+            np.asarray(min(leaves, key=lambda l: l.size))
+
         out = fn(*args)
-        np.asarray(jax.tree_util.tree_leaves(out)[0])  # warm + fence
+        jax.block_until_ready(out)
+        fence(out)                      # warm + honest fence
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
             out = fn(*args)
-            np.asarray(jax.tree_util.tree_leaves(out)[0])
-            leaf = jax.tree_util.tree_leaves(out)
-            np.asarray(leaf[-1] if hasattr(leaf[-1], "shape") else leaf[0])
+            fence(out)
             ts.append(time.perf_counter() - t0)
         per_frame = min(ts) / n_frames
         print(f"{name:11s}: {per_frame * 1e6:9.1f} us/frame "
@@ -210,7 +217,7 @@ def main(modes):
     d = state0.x.shape[0]
 
     for mode in modes:
-        if not mode.startswith("full"):
+        if not (mode == "full" or mode.startswith("full_u")):
             continue
         unroll = int(mode[6:]) if mode.startswith("full_u") else cfg.scan_unroll
         cfg_u = cfg.replace(scan_unroll=unroll)
@@ -247,6 +254,178 @@ def main(modes):
             timeit("megaonly", run_scan(megaonly_step, carry0, dummy), carry0, dummy)
         if "gather" in modes:
             timeit("gather", run_scan(gather_step, carry0, dummy), carry0, dummy)
+
+    if "fullkernel" in modes:
+        # The production whole-frame megakernel (frame_update_obs) alone,
+        # P carried frame to frame, fixed measurement inputs.
+        from conan_slam_tpu.ops.frame_kernel import frame_update_obs
+
+        slots = jnp.arange(nz, dtype=jnp.int32)
+        rows2 = (3 + 2 * slots[:, None] + jnp.arange(2)[None, :]).reshape(-1)
+        rows131 = jnp.concatenate([jnp.arange(3, dtype=jnp.int32), rows2])
+        nb = 8
+        bmat = jnp.eye(nb, dtype=jnp.float32) * 1e-8
+        vtf = jnp.asarray(rng.normal(size=(nb, d)).astype(np.float32) * 1e-4)
+        zr = jnp.asarray(
+            np.hypot(lm[:nz, 0], lm[:nz, 1]).astype(np.float32)
+        )
+        zb = jnp.asarray(
+            np.arctan2(lm[:nz, 1], lm[:nz, 0]).astype(np.float32)
+        )
+        mask = jnp.ones((nz,), bool)
+        r_cov = jnp.asarray(noise.re)
+
+        def fullkernel_step(carry, _):
+            p, x = carry
+            fu = frame_update_obs(
+                p, x, rows131, zr, zb, mask, r_cov, bmat, vtf
+            )
+            return (fu.p, fu.x), fu.nis
+
+        dummy = jnp.zeros((n_frames,), jnp.float32)
+        timeit(
+            "fullkernel",
+            run_scan(fullkernel_step, (state0.p, state0.x), dummy),
+            (state0.p, state0.x), dummy,
+        )
+
+    if "factkernel" in modes:
+        # frame_factors_fused alone: the factor recursion kernel + its glue,
+        # factors discarded (1e-20-weighted into the carried mean).
+        from conan_slam_tpu.ops.factor_kernel import frame_factors_fused
+
+        def factkernel_step(state, frame):
+            x_true_f, vns, swans, active_f, done_f, _ = frame_inputs(frame)
+            state, pose_trace, vtf, bmat = frame_factors_fused(
+                state, vns, swans, x_true_f[:, 2], active_f,
+                noise.qe, cfg.wheel_base, cfg.dt_controls, cfg.sigma_heading,
+                cfg.switch_heading_known,
+            )
+            x = state.x + 1e-20 * (bmat[0, 0] * vtf[0])
+            return state._replace(x=x), pose_trace[-1]
+
+        timeit("factkernel", run_scan(factkernel_step, state0, frames),
+               state0, frames)
+
+    if "assoc" in modes:
+        def assoc_step(state, frame):
+            x_true_f, vns, swans, active_f, done_f, obs_noise_f = frame_inputs(frame)
+            obs = get_obs(x_true_f[-1], obs_noise_f)
+            assoc = ekf_mod.associate_known(state, obs)
+            x = state.x.at[0].add(1e-20 * jnp.sum(assoc.slots))
+            return state._replace(x=x), x[0]
+
+        timeit("assoc", run_scan(assoc_step, state0, frames), state0, frames)
+
+    if "megaprep" in modes:
+        # The megakernel branch's host-side prep alone: slot-row indices,
+        # P row/submatrix gathers, pads, zin assembly — everything
+        # frame_update_obs does before its pallas_call.
+        slots = jnp.arange(nz, dtype=jnp.int32)
+        rows2 = (3 + 2 * slots[:, None] + jnp.arange(2)[None, :]).reshape(-1)
+        rows131 = jnp.concatenate([jnp.arange(3, dtype=jnp.int32), rows2])
+        nb = 8
+        vtf0 = jnp.asarray(rng.normal(size=(nb, d)).astype(np.float32) * 1e-4)
+        zr = jnp.asarray(np.hypot(lm[:nz, 0], lm[:nz, 1]).astype(np.float32))
+        zb = jnp.asarray(np.arctan2(lm[:nz, 1], lm[:nz, 0]).astype(np.float32))
+        mask = jnp.ones((nz,), bool)
+
+        def megaprep_step(carry, _):
+            p, x = carry
+            rp = -(-rows131.shape[0] // 8) * 8
+            nzl = (-(-2 * nz // 128) * 128) // 2
+            nr = rows131.shape[0]
+            nbp = -(-nb // 8) * 8
+            mask_f = mask.astype(p.dtype)
+            zin = jnp.zeros((8, nzl), p.dtype)
+            zin = zin.at[0, :nz].set(jnp.where(mask, zr, 0.0))
+            zin = zin.at[1, :nz].set(jnp.where(mask, zb, 0.0))
+            zin = zin.at[2, :nz].set(mask_f)
+            prows_u = p[rows131]
+            prows = jnp.pad(prows_u, ((0, rp - nr), (0, 0)))
+            prc = jnp.pad(prows_u[:, rows131], ((0, rp - nr), (0, rp - nr)))
+            vrows = jnp.pad(vtf0[:, rows131], ((0, nbp - nb), (0, rp - nr)))
+            xrows = jnp.pad(x[rows131], (0, rp - nr)).reshape(1, rp)
+            acc = (prows[0, 0] + prc[0, 0] + vrows[0, 0] + xrows[0, 0]
+                   + zin[0, 0])
+            # Single-element in-place touch keeps the gathers loop-carried
+            # (not hoisted) without paying a full P rewrite.
+            p = p.at[0, 0].add(1e-20 * acc)
+            return (p, x), acc
+
+        dummy = jnp.zeros((n_frames,), jnp.float32)
+        timeit("megaprep", run_scan(megaprep_step, (state0.p, state0.x), dummy),
+               (state0.p, state0.x), dummy)
+
+        def prc_step(carry, _):
+            p, x = carry
+            prows_u = p[rows131]
+            prc = prows_u[:, rows131]          # the lane gather
+            acc = prc[0, 0]
+            p = p.at[0, 0].add(1e-20 * acc)
+            return (p, x), acc
+
+        timeit("prep_prc", run_scan(prc_step, (state0.p, state0.x), dummy),
+               (state0.p, state0.x), dummy)
+
+        def pads_step(carry, _):
+            p, x = carry
+            rp = -(-rows131.shape[0] // 8) * 8
+            nr = rows131.shape[0]
+            prows_u = p[rows131]
+            prows = jnp.pad(prows_u, ((0, rp - nr), (0, 0)))
+            acc = prows[0, 0]
+            p = p.at[0, 0].add(1e-20 * acc)
+            return (p, x), acc
+
+        timeit("prep_pads", run_scan(pads_step, (state0.p, state0.x), dummy),
+               (state0.p, state0.x), dummy)
+
+        def zin_step(carry, _):
+            p, x = carry
+            nzl = (-(-2 * nz // 128) * 128) // 2
+            mask_f = mask.astype(p.dtype)
+            zin = jnp.zeros((8, nzl), p.dtype)
+            zin = zin.at[0, :nz].set(jnp.where(mask, zr, 0.0))
+            zin = zin.at[1, :nz].set(jnp.where(mask, zb, 0.0))
+            zin = zin.at[2, :nz].set(mask_f)
+            acc = zin[0, 0]
+            p = p.at[0, 0].add(1e-20 * acc)
+            return (p, x), acc
+
+        timeit("prep_zin", run_scan(zin_step, (state0.p, state0.x), dummy),
+               (state0.p, state0.x), dummy)
+
+    if "sweeponly" in modes:
+        # The in-kernel serial sweep (_sweep_si) alone on a (MP, MP) S.
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        from conan_slam_tpu.ops.frame_kernel import _sweep_si
+
+        mp = -(-2 * nz // 128) * 128
+        a = rng.normal(size=(mp, mp)).astype(np.float32)
+        s0 = jnp.asarray(a @ a.T / mp + np.eye(mp, dtype=np.float32))
+
+        def sweep_kernel(s_ref, out_ref, scr):
+            out_ref[:, :] = _sweep_si(s_ref[:, :], scr)
+
+        def sweeponly_step(carry, _):
+            s, acc = carry
+            si = pl.pallas_call(
+                sweep_kernel,
+                out_shape=jax.ShapeDtypeStruct((mp, mp), jnp.float32),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                scratch_shapes=[pltpu.VMEM((mp, mp), jnp.float32)],
+            )(s)
+            acc = acc + si[0, 0]
+            s = s + 1e-12 * acc * jnp.eye(mp, dtype=jnp.float32)
+            return (s, acc), acc
+
+        @jax.jit
+        def run_sweeponly(s0, acc0):
+            return jax.lax.scan(sweeponly_step, (s0, acc0), None, length=n_frames)
+        timeit("sweeponly", run_sweeponly, s0, jnp.float32(0.0))
 
     if "chol" in modes or "sweep" in modes or "noop" in modes:
         m = 2 * nz

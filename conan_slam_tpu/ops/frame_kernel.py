@@ -39,7 +39,6 @@ from jax.experimental.pallas import tpu as pltpu
 from conan_slam_tpu.core.linalg import PRECISION
 from conan_slam_tpu.ops.spd_inverse import sweep_ref_inverse
 
-
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
@@ -65,7 +64,7 @@ def _row_selector(rows_ref, d):
     ).astype(jnp.float32)
 
 
-def _sweep_si(s, s_scr):
+def _sweep_si(s, s_scr, nblk=None):
     """Jacobi-scaled symmetric sweep inverse of ``s`` using the VMEM scratch
     ``s_scr`` as the in-place accumulator; returns S^-1 (zero on non-finite,
     the degrade-don't-crash contract of slam.h:431-434).
@@ -78,6 +77,13 @@ def _sweep_si(s, s_scr):
     feeds that asymmetry back into P with gain ~1%/frame — measured as
     exponential asym growth 1e-7 -> 2e-2 over 1.5k frames and a divergent
     filter.  spd_inverse (the multi-op path) applies the same two sym()s.
+
+    ``nblk`` (optional traced scalar) bounds the serial sweep to the first
+    ``nblk`` 2x2 pivot blocks.  Valid with the masked-measurement layout:
+    blocks >= nblk are decoupled identity blocks whose S^-1 values are
+    multiplied only by zero Hc rows / zero innovations downstream, so their
+    (sign-wrong) unswept values never propagate.  At the bench shape ~40 of
+    64 buffered measurements are valid, cutting the serial sweep ~40%.
     """
     mp = s.shape[0]
     s = 0.5 * (s + jnp.transpose(s))
@@ -87,7 +93,7 @@ def _sweep_si(s, s_scr):
     dsc = jax.lax.rsqrt(jnp.maximum(diag, 1e-30))           # (MP, 1)
     dsc_row = jnp.transpose(dsc)                            # (1, MP)
     s_scr[:, :] = s * dsc * dsc_row
-    sweep_ref_inverse(s_scr)
+    sweep_ref_inverse(s_scr, nblk=nblk)
     si = s_scr[:, :] * dsc * dsc_row
     si = 0.5 * (si + jnp.transpose(si))
     finite = jnp.all(jnp.isfinite(si))
@@ -567,17 +573,23 @@ def _observe_core(xrows, zin, rsc, mp, rp):
     return hc, rmat, v2
 
 
-def _fullframe_kernel(zin_ref, rsc_ref, x_ref, xrows_ref, prows_ref, prc_ref,
-                      bmat_ref, vtf_ref, vrows_ref, vtfp_ref, p_ref,
+def _fullframe_kernel(zin_ref, rsc_ref, nblk_ref, x_ref, xrows_ref, prows_ref,
+                      prc_ref, bmat_ref, vtf_ref, vrows_ref, vtfp_ref, p_ref,
                       out_ref, xn_ref, nis_ref,
-                      phtt_scr, nsipht_scr, bvt_scr, s_scr, *, tr):
+                      phtt_scr, si_scr, bvt_scr, s_scr, *, tr):
     """Whole-frame kernel body; see ``frame_update_obs``.
 
     VMEM discipline (the round-1 regression was a 17.99M > 16M scoped-vmem
     OOM at D=2304): no (D, RP) one-hot selector — the row/column gathers of
-    P, vtf and x arrive pre-gathered from the host (prc/vrows/xrows) — and
-    phtT is built directly D-major into scratch, so neither the (MP, D) pht
-    value nor its (D, MP) transpose temporary is ever materialised.
+    P, vtf and x arrive pre-gathered from the host (prc/vrows/xrows).
+
+    The downdate keeps only phtT (D, MP) and S^-1 (MP, MP) resident; each
+    panel computes (phtT_panel S^-1) phtT^T — one tiny (tr, MP) matmul plus
+    the O(D^2) product — instead of holding a second (MP, D) -S^-1 phtT
+    strip in VMEM.  All panel matmuls stay at HIGHEST: on this MXU f32
+    HIGHEST costs ~3 bf16 passes, the same as an explicit hi/lo-split
+    3-pass, so there is no cheaper precision tier above raw bf16 (which is
+    numerically unacceptable for the covariance).
     """
     f32 = jnp.float32
     i = pl.program_id(0)
@@ -600,18 +612,18 @@ def _fullframe_kernel(zin_ref, rsc_ref, x_ref, xrows_ref, prows_ref, prc_ref,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f32, precision=PRECISION,
         )                                                   # (MP, NBP)
-        # phtT = P' H^T built directly (D, MP): prows^T hc^T + vtf^T hvb^T.
-        # Two sequential stores bound the live temporary at one (D, MP).
-        phtt_scr[:, :] = jax.lax.dot_general(
-            prows_ref[:, :], hc,
-            dimension_numbers=(((0,), (1,)), ((), ())),
+        # pht = P' H^T as an (MP, D) value; stored transposed (D, MP) so the
+        # per-panel slices land on the sublane dimension.
+        pht = jax.lax.dot_general(
+            hc, prows_ref[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f32, precision=PRECISION,
-        )
-        phtt_scr[:, :] += jax.lax.dot_general(
-            vtf_ref[:, :], hvb,
-            dimension_numbers=(((0,), (1,)), ((), ())),
+        ) + jax.lax.dot_general(
+            hvb, vtf_ref[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f32, precision=PRECISION,
-        )
+        )                                                   # (MP, D)
+        phtt_scr[:, :] = pht.T
         # S = pht[:, rows] hc^T + R with pht[:, rows] = hc prc + hvb vrows
         # (prc = P[rows][:, rows], vrows = vtf[:, rows], both host gathers).
         psub = jax.lax.dot_general(
@@ -628,24 +640,20 @@ def _fullframe_kernel(zin_ref, rsc_ref, x_ref, xrows_ref, prows_ref, prc_ref,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=f32, precision=PRECISION,
         ) + rmat
-        si = _sweep_si(s, s_scr)
+        si = _sweep_si(s, s_scr, nblk=nblk_ref[0])
+        si_scr[:, :] = si
         siv = jax.lax.dot_general(
             v2, si, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f32, precision=PRECISION,
         )                                                   # (1, MP)
-        nsipht_scr[:, :] = -jax.lax.dot_general(
-            si, phtt_scr[:, :],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=f32, precision=PRECISION,
-        )
         bvt_scr[:, :] = jax.lax.dot_general(
             bmat_ref[:, :], vtf_ref[:, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f32, precision=PRECISION,
         )
         xn = x_ref[:, :] + jax.lax.dot_general(
-            siv, phtt_scr[:, :],
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            siv, pht,
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f32, precision=PRECISION,
         )
         # Wrap the heading lane.
@@ -653,19 +661,22 @@ def _fullframe_kernel(zin_ref, rsc_ref, x_ref, xrows_ref, prows_ref, prc_ref,
         xn_ref[:, :] = jnp.where(laned == 2, _wrap(xn), xn)
         nis_ref[0, 0] = jnp.sum(siv * v2)
 
-    out_ref[:, :] = (
-        p_ref[:, :]
-        + jax.lax.dot_general(
-            vtfp_ref[:, :], bvt_scr[:, :],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=f32, precision=PRECISION,
-        )
-        + jax.lax.dot_general(
-            phtt_scr[pl.ds(i * tr, tr), :], nsipht_scr[:, :],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f32, precision=PRECISION,
-        )
+    wsi = jax.lax.dot_general(
+        phtt_scr[pl.ds(i * tr, tr), :], si_scr[:, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32, precision=PRECISION,
+    )                                                       # (tr, MP)
+    vbv = jax.lax.dot_general(
+        vtfp_ref[:, :].T, bvt_scr[:, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32, precision=PRECISION,
+    )                                                       # (tr, D)
+    down = jax.lax.dot_general(
+        wsi, phtt_scr[:, :],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32, precision=PRECISION,
     )
+    out_ref[:, :] = p_ref[:, :] + vbv - down
 
 
 class FrameUpdateObs(NamedTuple):
@@ -680,22 +691,23 @@ def _pick_frame_tile(d: int, mp: int, rp: int, nbp: int) -> int:
     """Row-panel size for the one-dispatch whole-frame schedule, or 0 if no
     tile fits the VMEM budget.
 
-    Accounting (validated against an actual v5e Mosaic compile at
-    D=2304/MP=128/RP=136/NBP=24, where the allocator reported ~11 MiB for
-    this schedule against the 16 MiB scoped limit):
-      rows-of-D resident: prows (rp) + vtf & bvt scratch (2 nbp) + phtT &
-      nsipht scratch (2 mp) + x/xn (2) + step-0 dot temporaries (~2 mp);
-      small blocks: sweep scratch + S/si temps (3 mp^2) + prc (rp^2);
-      panels: double-buffered (tr, D) in and out.
-    The 12 MiB budget leaves ~4 MiB headroom for Mosaic stack slop.
+    Accounting (validated against actual v5e Mosaic compiles at
+    D=2304/MP=128/RP=136/NBP=24, 16 MiB scoped limit):
+      rows-of-D resident: prows (rp) + vtf & bvt (2 nbp) + phtT f32 (mp) +
+      step-0 pht temp (mp) + x/xn (2);
+      small blocks: sweep + S^-1 scratch + S temps (4 mp^2) + prc (rp^2);
+      panels: double-buffered (tr, D) in and out plus (tr, mp) wsi temps.
     """
     if d % 128:
         return 0
-    fixed = (rp + 2 * nbp + 4 * mp + 2) * d * 4 + (3 * mp * mp + rp * rp) * 4
+    import os
+
+    budget = int(os.environ.get("FK_VMEM_BUDGET_MB", "14")) * 2**20
+    fixed = (rp + 2 * nbp + 2 * mp + 2) * d * 4 + (4 * mp * mp + rp * rp) * 4
     for cand in (512, 256, 128):
         if d % cand:
             continue
-        if fixed + 4 * cand * d * 4 <= 12 * 2**20:
+        if fixed + cand * (4 * d + mp) * 4 <= budget:
             return cand
     return 0
 
@@ -750,6 +762,11 @@ def frame_update_obs(p, x, rows, zr, zb, mask, r_cov, bmat, vtf,
     zin = zin.at[1, :nz].set(jnp.where(mask, zb, 0.0))
     zin = zin.at[2, :nz].set(mask_f)
     rsc = jnp.asarray(r_cov, p.dtype).reshape(4)
+    # Serial-sweep bound: pivot blocks past the last valid measurement are
+    # decoupled identity blocks whose S^-1 values are never consumed.
+    nblk = jnp.max(
+        jnp.where(mask, jnp.arange(1, nz + 1, dtype=jnp.int32), 0)
+    ).reshape(1)
     nr = rows.shape[0]
     prows_u = p[rows]                                       # (R, D)
     prows = jnp.pad(prows_u, ((0, rp - nr), (0, 0)))
@@ -788,6 +805,7 @@ def frame_update_obs(p, x, rows, zr, zb, mask, r_cov, bmat, vtf,
         in_specs=[
             pl.BlockSpec((8, nzl), bcast, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, d), bcast, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rp), bcast, memory_space=pltpu.VMEM),
             pl.BlockSpec((rp, d), bcast, memory_space=pltpu.VMEM),
@@ -804,14 +822,14 @@ def frame_update_obs(p, x, rows, zr, zb, mask, r_cov, bmat, vtf,
             pl.BlockSpec((1, 1), bcast, memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((d, mp), f32),
-            pltpu.VMEM((mp, d), f32),
-            pltpu.VMEM((nbp, d), f32),
-            pltpu.VMEM((mp, mp), f32),
+            pltpu.VMEM((d, mp), f32),            # phtT
+            pltpu.VMEM((mp, mp), f32),           # S^-1
+            pltpu.VMEM((nbp, d), f32),           # B vtf
+            pltpu.VMEM((mp, mp), f32),           # sweep scratch
         ],
         cost_estimate=cost,
         interpret=interpret,
-    )(zin, rsc, x_row, xrows, prows, prc, bmat, vtf, vrows, vtf, p)
+    )(zin, rsc, nblk, x_row, xrows, prows, prc, bmat, vtf, vrows, vtf, p)
     return FrameUpdateObs(p=p_out, x=xn[0], nis=nis[0, 0])
 
 

@@ -30,12 +30,17 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def sweep_ref_inverse(out_ref):
+def sweep_ref_inverse(out_ref, nblk=None):
     """In-place symmetric Gauss-Jordan with 2x2 pivot blocks.
 
     On entry ``out_ref`` (VMEM, (mp, mp), mp even) holds a (scaled) SPD
     matrix; on exit it holds the inverse.  Reusable from other Pallas
     kernels (ops.frame_kernel embeds it in the fused measurement chain).
+
+    ``nblk`` (static or traced scalar) optionally bounds the sweep to the
+    first ``nblk`` pivot blocks; unswept trailing blocks come out as -E
+    instead of E^-1 (callers must guarantee they are decoupled and unused —
+    see ops.frame_kernel._sweep_si).
 
     One sweep of pivot block E (rows/cols 2k, 2k+1), C = A[:, blk]:
         A   <- A - C E^-1 C^T          (zeroes the pivot rows/columns)
@@ -89,7 +94,8 @@ def sweep_ref_inverse(out_ref):
         out_ref[:, :] = a
         return 0
 
-    jax.lax.fori_loop(0, mp // 2, body, 0)
+    hi = mp // 2 if nblk is None else nblk
+    jax.lax.fori_loop(0, hi, body, 0)
     out_ref[:, :] = -out_ref[:, :]
 
 
