@@ -23,7 +23,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-N_LANDMARKS = 500
+N_LANDMARKS = int(os.environ.get("GATED_LANDMARKS", "500"))
 SEED = 7
 
 

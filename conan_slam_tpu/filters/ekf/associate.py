@@ -61,12 +61,20 @@ def _innovation_stats(state: EKFState, r_cov, vmat=None, bmat=None):
     are formed — O(D r) work instead of an O(D^2) rewrite of P.
     """
     k = state.capacity
+    d = state.x.shape[0]
     zp, hv, hf = sensor.observe(state.pose, state.features)  # (K,2) (K,2,3) (K,2,2)
     pvv = state.p[:3, :3]
     pvm = state.p[:3, 3 : 3 + 2 * k].reshape(3, k, 2).transpose(1, 0, 2)  # (K, 3, 2)
-    pmm = state.p[3 : 3 + 2 * k, 3 : 3 + 2 * k].reshape(k, 2, k, 2)
-    idx = jnp.arange(k)
-    pjj = pmm[idx, :, idx, :]                                       # (K, 2, 2)
+    # Diagonal 2x2 feature blocks via a per-row two-column gather of the
+    # diagonal band.  The naive reshape(k, 2, k, 2)[idx, :, idx, :] asks XLA
+    # to materialise the (2K, 2K) -> (K, 2, K, 2) reshape before gathering —
+    # 103 GB at K = 10k (observed compile-time HBM overflow); this form reads
+    # exactly the 4K gathered elements.
+    ridx = jnp.arange(d)
+    base = jnp.where(ridx >= 3, 3 + 2 * ((ridx - 3) // 2), 0)
+    cols = jnp.clip(base[:, None] + jnp.arange(2)[None, :], 0, d - 1)
+    band = jnp.take_along_axis(state.p, cols, axis=1)               # (D, 2)
+    pjj = band[3 : 3 + 2 * k].reshape(k, 2, 2)                      # (K, 2, 2)
 
     if vmat is not None:
         v3 = vmat[:3, :]                                            # (3, r)
