@@ -39,6 +39,15 @@ from jax.experimental.pallas import tpu as pltpu
 from conan_slam_tpu.core.linalg import PRECISION
 from conan_slam_tpu.ops.spd_inverse import sweep_ref_inverse
 
+# VMEM budget for the whole-frame schedules.  Read ONCE at import: it feeds
+# trace-time tile selection, and a post-trace change could desync the
+# can_fuse_frame caller check from an already-cached kernel schedule
+# (fixed-at-startup debug knob, not a live tunable).
+import os as _os
+
+_FK_VMEM_BUDGET = int(_os.environ.get("FK_VMEM_BUDGET_MB", "14")) * 2**20
+
+
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
@@ -695,15 +704,19 @@ def _pick_frame_tile(d: int, mp: int, rp: int, nbp: int) -> int:
     D=2304/MP=128/RP=136/NBP=24, 16 MiB scoped limit):
       rows-of-D resident: prows (rp) + vtf & bvt (2 nbp) + phtT f32 (mp) +
       step-0 pht temp (mp) + x/xn (2);
-      small blocks: sweep + S^-1 scratch + S temps (4 mp^2) + prc (rp^2);
+      small blocks: sweep + S^-1 scratch + S temps (4 mp^2) + prc (rp^2) +
+      the small resident inputs (bmat nbp^2, vrows nbp*rp, xrows rp, zin,
+      and hc/rmat temps ~2 mp rp + mp^2) so the predicate stays conservative
+      as shapes change;
       panels: double-buffered (tr, D) in and out plus (tr, mp) wsi temps.
     """
     if d % 128:
         return 0
-    import os
 
-    budget = int(os.environ.get("FK_VMEM_BUDGET_MB", "14")) * 2**20
+    budget = _FK_VMEM_BUDGET
     fixed = (rp + 2 * nbp + 2 * mp + 2) * d * 4 + (4 * mp * mp + rp * rp) * 4
+    fixed += (nbp * nbp + nbp * rp + 2 * rp + mp // 2 * 8) * 4
+    fixed += (2 * mp * rp + mp * mp) * 4
     for cand in (512, 256, 128):
         if d % cand:
             continue

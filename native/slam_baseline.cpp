@@ -283,8 +283,7 @@ struct EkfSlam {
         s.at(r, c) = avg; s.at(c, r) = avg;
       }
     // Cholesky factor S (in place), then W = S^-1 AT via two triangular
-    // substitutions vectorized over the d contiguous columns of AT, and
-    // y0 = S^-1 v (scalar RHS).
+    // substitutions vectorized over the d contiguous columns of AT.
     for (int j = 0; j < K; ++j) {
       float diag = s.at(j, j);
       for (int k = 0; k < j; ++k) diag -= s.at(j, k) * s.at(j, k);
@@ -298,18 +297,15 @@ struct EkfSlam {
       }
     }
     std::vector<float> w = std::move(at);  // solve in place: AT -> W
-    std::vector<float> y0(v);
     for (int i = 0; i < K; ++i) {          // forward: L z = rhs
       float* __restrict wi = &w[static_cast<size_t>(i) * d];
       for (int k = 0; k < i; ++k) {
         const float l = s.at(i, k);
         const float* __restrict wk = &w[static_cast<size_t>(k) * d];
         for (int c = 0; c < d; ++c) wi[c] -= l * wk[c];
-        y0[i] -= l * y0[k];
       }
       const float inv = 1.0f / s.at(i, i);
       for (int c = 0; c < d; ++c) wi[c] *= inv;
-      y0[i] *= inv;
     }
     for (int i = K - 1; i >= 0; --i) {     // backward: L^T y = z
       float* __restrict wi = &w[static_cast<size_t>(i) * d];
@@ -317,16 +313,13 @@ struct EkfSlam {
         const float l = s.at(k, i);
         const float* __restrict wk = &w[static_cast<size_t>(k) * d];
         for (int c = 0; c < d; ++c) wi[c] -= l * wk[c];
-        y0[i] -= l * y0[k];
       }
       const float inv = 1.0f / s.at(i, i);
       for (int c = 0; c < d; ++c) wi[c] *= inv;
-      y0[i] *= inv;
     }
-    // x += PHT y0 = W^T(row space)... PHT[r, k] = (H P)[k, r]: the original
-    // strip is gone (solved in place), so accumulate x from W and S:
-    // x += PHT S^-1 v = (S^-1 PHT^T)^T v... W = S^-1 PHT^T (K, d):
-    // x[r] += sum_k W[k][r] * v[k]  (v, not y0 — W already carries S^-1).
+    // x += PHT S^-1 v = (S^-1 PHT^T)^T v with W = S^-1 PHT^T (K, d):
+    // x[r] += sum_k W[k][r] * v[k]  (v, not a pre-solved y — W already
+    // carries S^-1).
     for (int k = 0; k < K; ++k) {
       const float* __restrict wk = &w[static_cast<size_t>(k) * d];
       const float vk = v[k];
