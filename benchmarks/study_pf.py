@@ -34,6 +34,11 @@ CONFIGS = [
     ("systematic + roughening 0.02", "systematic", 0.02, 100),
     ("systematic + roughening 0.05", "systematic", 0.05, 100),
     ("stratified + roughening 0.05", "stratified", 0.05, 100),
+    # Particle-count scaling: the 2-seed probe showed per-seed failures are
+    # insensitive to the resampling/roughening knobs (a bad seed fails under
+    # every knob setting), pointing at ensemble size, not resampling bias.
+    ("systematic, 400 particles", "systematic", 0.0, 400),
+    ("systematic, 1000 particles", "systematic", 0.0, 1000),
 ]
 
 

@@ -49,49 +49,56 @@ def sweep_ref_inverse(out_ref, nblk=None):
     so the pivot columns are read as rows (a cheap (2, m) sublane slice) and
     the 2x2 block is extracted with masked lane-reduces — no dynamic lane
     slicing inside the loop.  The accumulator lives in the VMEM out_ref.
+
+    The whole sweep — general downdate, row/column strip overwrite and pivot
+    block — is folded into a single rank-2 update with shifted factors:
+
+        A <- A - (c0 - e_a)(u0 - i00 e_a^T - i01 e_b^T)
+               - (c1 - e_b)(u1 - i01 e_a^T - i11 e_b^T)
+               - 2 (e_a e_a^T + e_b e_b^T)          [a, b = k0, k0+1]
+
+    where u_r = (E^-1 C^T)_r.  Expanding shows every region lands exactly:
+    general entries get -C E^-1 C^T, the strips become C E^-1 / E^-1 C^T
+    (the e-shifts cancel the strip's own downdate and inject u), the pivot
+    off-diagonal comes out -i01 for free, and the pivot diagonal comes out
+    2 - i_rr, fixed by the constant -2 diagonal term.  This costs 2 outer
+    FMAs + 1 masked add over (mp, mp) per pivot instead of the 8
+    full-matrix ops of the region-by-region form — the serial sweep is
+    latency-bound on dependent full-matrix VPU ops, so this nearly halves
+    its critical path.
     """
     mp = out_ref.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, mp), 1)
-    i2 = jax.lax.broadcasted_iota(jnp.int32, (mp, mp), 0)
-    j2 = jax.lax.broadcasted_iota(jnp.int32, (mp, mp), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (mp, 1), 0)
 
     def body(k, _):
         k0 = 2 * k
         rows = out_ref[pl.ds(k0, 2), :]                    # (2, mp)
         r0 = rows[0:1, :]
         r1 = rows[1:2, :]
-        e00 = jnp.sum(jnp.where(lane == k0, r0, 0.0))
-        e01 = jnp.sum(jnp.where(lane == k0 + 1, r0, 0.0))
-        e11 = jnp.sum(jnp.where(lane == k0 + 1, r1, 0.0))
+        l0 = lane == k0
+        l1 = lane == k0 + 1
+        e00 = jnp.sum(jnp.where(l0, r0, 0.0))
+        e01 = jnp.sum(jnp.where(l1, r0, 0.0))
+        e11 = jnp.sum(jnp.where(l1, r1, 0.0))
         det = e00 * e11 - e01 * e01
         ok = jnp.logical_and(det > 1e-30, e00 > 1e-20)
         idet = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
         i00 = e11 * idet
         i01 = -e01 * idet
         i11 = e00 * idet
-        # u = E^-1 C^T: the swept row strip.
-        u0 = i00 * r0 + i01 * r1                           # (1, mp)
-        u1 = i01 * r0 + i11 * r1
-        c0 = jnp.transpose(r0)                             # (mp, 1)
-        c1 = jnp.transpose(r1)
-        a = out_ref[:, :]
-        a = a - (c0 * u0 + c1 * u1)                        # A - C E^-1 C^T
-        # Column strip C E^-1 written back via lane masks; row strip via
-        # sublane masks; both give exactly I at the pivot block (C[blk] = E).
-        a = a + jnp.where(j2 == k0, c0 * i00 + c1 * i01, 0.0)
-        a = a + jnp.where(j2 == k0 + 1, c0 * i01 + c1 * i11, 0.0)
-        a = a + jnp.where(i2 == k0, u0, 0.0)
-        a = a + jnp.where(i2 == k0 + 1, u1, 0.0)
-        # Pivot block now holds I + I = 2I (when swept); set it to -E^-1.
-        pb = jnp.logical_and(i2 >= k0, i2 < k0 + 2)
-        pb = jnp.logical_and(pb, jnp.logical_and(j2 >= k0, j2 < k0 + 2))
-        diag = jnp.logical_and(pb, i2 == j2)
-        offd = jnp.logical_and(pb, i2 != j2)
-        ii = jnp.where(i2 == k0, jnp.where(j2 == k0, i00, i01),
-                       jnp.where(j2 == k0, i01, i11))
-        fix = jnp.where(diag, -ii - 2.0, jnp.where(offd, -ii, 0.0))
-        a = a + jnp.where(ok, jnp.where(pb, fix, 0.0), 0.0)
-        out_ref[:, :] = a
+        # u = E^-1 C^T rows, lane-shifted by the pivot-block inverse.
+        g0 = i00 * r0 + i01 * r1 - jnp.where(l0, i00, 0.0) - jnp.where(l1, i01, 0.0)
+        g1 = i01 * r0 + i11 * r1 - jnp.where(l0, i01, 0.0) - jnp.where(l1, i11, 0.0)
+        ct = jnp.transpose(rows)                           # (mp, 2)
+        s0 = sub == k0
+        s1 = sub == k0 + 1
+        h0 = ct[:, 0:1] - jnp.where(s0, 1.0, 0.0)          # (mp, 1)
+        h1 = ct[:, 1:2] - jnp.where(s1, 1.0, 0.0)
+        piv = jnp.where(jnp.logical_or(jnp.logical_and(s0, l0),
+                                       jnp.logical_and(s1, l1)),
+                        jnp.where(ok, 2.0, 0.0), 0.0)      # (mp, mp)
+        out_ref[:, :] = out_ref[:, :] - (h0 * g0 + h1 * g1 + piv)
         return 0
 
     hi = mp // 2 if nblk is None else nblk
