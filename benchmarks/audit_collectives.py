@@ -22,9 +22,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+_N_DEV = int(os.environ.get("AUDIT_DEVICES", "8"))
+_N_LM = int(os.environ.get("AUDIT_LANDMARKS", "512"))
+_N_OBS = int(os.environ.get("AUDIT_OBS", "32"))
+
 os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
 os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    os.environ.get("XLA_FLAGS", "")
+    + f" --xla_force_host_platform_device_count={_N_DEV}"
 )
 
 import numpy as np
@@ -86,10 +91,16 @@ def main():
     from conan_slam_tpu.sim.steering import init_steer_state
     from conan_slam_tpu.sim.world import default_world
 
-    assert len(jax.devices()) >= 8, jax.devices()
-    mesh = make_mesh({STATE_AXIS: 8})
-    cfg = SlamConfig(max_landmarks=512, max_obs=32)
+    assert len(jax.devices()) >= _N_DEV, jax.devices()
+    mesh = make_mesh({STATE_AXIS: _N_DEV})
+    cfg = SlamConfig(max_landmarks=_N_LM, max_obs=_N_OBS)
     world = default_world()
+    if _N_LM > world.num_landmarks:
+        # Large-map audits need enough world landmarks to fill the obs buffer.
+        from conan_slam_tpu.sim.world import random_world
+        world = random_world(jax.random.PRNGKey(3), _N_LM)._replace(
+            waypoints=world.waypoints
+        )
     noise = make_noise(cfg, "ekf")
     state0 = ekf_mod.init_state(cfg.max_landmarks, world.num_landmarks)
     xs, ps = dist_ekf.shard_state(mesh, state0.x, state0.p)
@@ -115,7 +126,7 @@ def main():
     rows = audit_hlo(hlo)
     total = sum(r[2] for r in rows)
     print(f"# Collective audit: one dist_ekf frame step "
-          f"(Dp={dp}, m={m}, mesh=8x state)")
+          f"(Dp={dp}, m={m}, mesh={_N_DEV}x state)")
     print(f"| kind | output shape | bytes |")
     print(f"|---|---|---|")
     agg = {}
@@ -135,6 +146,7 @@ def main():
     print(f"# O(m*Dp) bound check: total={total:,} <= bound={bound:,}: "
           f"{total <= bound}")
     quad = 4 * dp * dp // 8
+    print(f"# AUDIT_RESULT total_bytes={total} dp={dp} m={m} ndev={_N_DEV}")
     assert total <= bound, (total, bound)
     assert total < quad, f"collective bytes {total} ~ O(Dp^2/8) {quad}"
     log("audit_collectives: PASS")

@@ -103,9 +103,34 @@ def _innovation_stats(state: EKFState, r_cov, vmat=None, bmat=None):
     return zp, s
 
 
+def _innovation_blocks(state: EKFState, vmat=None, bmat=None):
+    """The P blocks the per-slot innovation covariance reads — pose block,
+    pose-feature strips, feature diagonal 2x2s — with the optional virtual
+    P + V B V^T correction folded in (same algebra as ``_innovation_stats``;
+    host-side prep for the blocked gating kernel)."""
+    k = state.capacity
+    d = state.x.shape[0]
+    pvv = state.p[:3, :3]
+    pvm = state.p[:3, 3 : 3 + 2 * k].reshape(3, k, 2).transpose(1, 0, 2)
+    ridx = jnp.arange(d)
+    base = jnp.where(ridx >= 3, 3 + 2 * ((ridx - 3) // 2), 0)
+    cols = jnp.clip(base[:, None] + jnp.arange(2)[None, :], 0, d - 1)
+    band = jnp.take_along_axis(state.p, cols, axis=1)               # (D, 2)
+    pjj = band[3 : 3 + 2 * k].reshape(k, 2, 2)                      # (K, 2, 2)
+    if vmat is not None:
+        v3 = vmat[:3, :]
+        vm = vmat[3 : 3 + 2 * k, :].reshape(k, 2, -1)
+        v3b = jnp.matmul(v3, bmat, precision=PRECISION)
+        pvv = pvv + jnp.matmul(v3b, v3.T, precision=PRECISION)
+        pvm = pvm + jnp.einsum("ir,kjr->kij", v3b, vm, precision=PRECISION)
+        vmb = jnp.einsum("kir,rs->kis", vm, bmat, precision=PRECISION)
+        pjj = pjj + jnp.einsum("kir,kjr->kij", vmb, vm, precision=PRECISION)
+    return pvv, pvm, pjj
+
+
 def associate_gated(
     state: EKFState, obs: CompactObs, r_cov, gate_reject, gate_augment,
-    vmat=None, bmat=None,
+    vmat=None, bmat=None, *, use_pallas: bool = True, interpret: bool = False,
 ) -> AssociationResult:
     """Gated nearest-neighbour association (reference EKF.cpp:263-296).
 
@@ -118,7 +143,29 @@ def associate_gated(
     ``vmat``/``bmat`` gate against the virtual covariance P + V B V^T
     (see ``_innovation_stats``) so the fastframe fused path can associate
     without materialising the frame's predict+heading covariance effect.
+
+    On TPU the whole (NZ, K) scoring + masked argmin runs as ONE blocked
+    Pallas dispatch (ops.gating_kernel); the jnp path below is the
+    reference/CPU implementation.
     """
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if use_pallas and (on_tpu or interpret):
+        from conan_slam_tpu.ops.gating_kernel import gating_scores
+
+        pvv, pvm, pjj = _innovation_blocks(state, vmat, bmat)
+        best_nd, best_j, min_nis = gating_scores(
+            obs.z, obs.mask, state.pose, state.features, state.active_mask,
+            pvv, pvm, pjj, r_cov, gate_reject, interpret=interpret,
+        )
+        found = best_nd < 1.0e38
+        known = jnp.logical_and(obs.mask, found)
+        new = jnp.logical_and(
+            obs.mask,
+            jnp.logical_and(jnp.logical_not(found), min_nis > gate_augment),
+        )
+        slots = jnp.where(found, best_j, 0)
+        return AssociationResult(known_mask=known, slots=slots, new_mask=new)
+
     zp, s = _innovation_stats(state, r_cov, vmat, bmat)       # (K,2), (K,2,2)
     sinv = inv2(s)
     logdet = jnp.log(jnp.maximum(det2(s), 1e-30))

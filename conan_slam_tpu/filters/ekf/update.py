@@ -64,6 +64,53 @@ def update(state: EKFState, obs: CompactObs, slots, mask, r_cov, batch: bool) ->
     return sequential_update(state, obs, slots, mask, r_cov)
 
 
+def fused_frame_step(
+    state: EKFState, vns, swans, phis, actives, q_cov, obs: CompactObs,
+    slots, mask, r_cov, wheel_base, dt, sigma_heading, use_heading: bool,
+    *, interpret: bool = False,
+):
+    """Known-association whole frame — S predict+heading sub-steps, observe,
+    measurement update — as ONE device kernel where shapes allow.
+
+    Semantically identical to ``frame_factors_fused`` (the factor recursion)
+    followed by ``fused_frame_update``; on the TPU path both collapse into
+    ``ops.frame_kernel.frame_step`` so the only inter-kernel work per frame
+    is the association table lookup and three small row gathers of P/x.
+    Returns ``(new_state, pose_trace (S, 3), nis_per_measurement)``.
+    """
+    from conan_slam_tpu.ops.frame_kernel import can_fuse_frame_step, frame_step
+
+    d = state.x.shape[0]
+    nz = obs.z.shape[0]
+    cap = state.capacity
+    safe = jnp.clip(slots, 0, cap - 1)
+    rows2 = (3 + 2 * safe[:, None] + jnp.arange(2)[None, :]).reshape(-1)
+    rows131 = jnp.concatenate([jnp.arange(3, dtype=rows2.dtype), rows2])
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if (on_tpu or interpret) and can_fuse_frame_step(d, nz):
+        fs = frame_step(
+            state.p, state.x, rows131, vns, swans, phis, actives, q_cov,
+            obs.z[:, 0], obs.z[:, 1], mask, r_cov, wheel_base, dt,
+            sigma_heading, use_heading, interpret=interpret,
+        )
+        new_state = state._replace(x=fs.x, p=fs.p)
+        n_meas = jnp.maximum(jnp.sum(mask.astype(fs.x.dtype)), 1.0)
+        return new_state, fs.pose_trace, fs.nis / n_meas
+
+    from conan_slam_tpu.ops.factor_kernel import frame_factors_fused
+
+    state1, pose_trace, vtf, bmat = frame_factors_fused(
+        state, vns, swans, phis, actives, q_cov, wheel_base, dt,
+        sigma_heading, use_heading,
+    )
+    state2, nis = fused_frame_update(
+        state1, None, bmat, obs, slots, mask, r_cov,
+        return_nis=True, vtf=vtf,
+    )
+    return state2, pose_trace, nis
+
+
 def fused_frame_update(
     state: EKFState, vmat, bmat, obs: CompactObs, slots, mask, r_cov,
     *, use_pallas: bool = True, return_nis: bool = False,

@@ -38,17 +38,27 @@ def _wrap(a):
     return a - _TWO_PI * jnp.floor((a + jnp.pi) / _TWO_PI)
 
 
-def _factor_kernel(subs_ref, qc_ref, x0_ref, p2_ref,
-                   xf_ref, pt_ref, vtf_ref, bm_ref,
-                   *, s_steps, nb, nbp, wheel_base, dt, sigma_heading,
-                   use_heading):
+def coeff_recursion(subs_ref, qc_ref, p2, pose0, *, s_steps, wheel_base, dt,
+                    sigma_heading, use_heading):
+    """The whole-frame (predict + heading) compounding on 4-coefficient lane
+    vectors (filters.ekf.fastframe._frame_core algebra; every vector the
+    recursion produces lies in span{P e2, e0, e1, e2}).
+
+    Args: ``subs_ref`` (4, S) SMEM rows [vn, swan, phi_meas, active];
+    ``qc_ref`` (3,) SMEM chol(Q) entries; ``p2`` (1, D) value = P e2 row;
+    ``pose0`` (1, 3) value.  Returns
+    ``(pose, pose_list, corr0, m_c, f_cols, w_cols)``: final/per-sub-step
+    (1, 3) pose means, the (1, 1) map mean-correction coefficient
+    (x_map += p2 * corr0), and the frame-factor coefficient columns — the
+    composed transform ``m_c``, 2S noise-factor columns (unit B weight) and
+    S heading-gain columns (B weight sigma_heading^2), each a (1, 4) vector
+    representing p2*c[0] + e0*c[1] + e1*c[2] + e2*c[3].
+    """
     f32 = jnp.float32
-    d = x0_ref.shape[1]
     r_head = sigma_heading * sigma_heading
 
     lane4 = jax.lax.broadcasted_iota(jnp.int32, (1, 4), 1)
     lane3 = jax.lax.broadcasted_iota(jnp.int32, (1, 3), 1)
-    laned = jax.lax.broadcasted_iota(jnp.int32, (1, d), 1)
 
     def c3(a, b, cc):
         out = jnp.zeros((1, 3), jnp.float32)
@@ -57,10 +67,9 @@ def _factor_kernel(subs_ref, qc_ref, x0_ref, p2_ref,
         out = out + jnp.where(lane3 == 2, cc, 0.0)
         return out
 
-    p2 = p2_ref[:, :]                                   # (1, D) = P e2
     p22 = p2[:, 2:3]                                    # (1, 1)
     p2h = p2[:, 0:3]                                    # (1, 3)
-    pose = x0_ref[:, 0:3]                               # (1, 3)
+    pose = pose0                                        # (1, 3)
 
     def c4(a, b, cc, dd):
         """(1, 4) from four (1, 1) scalars (or python 0.0)."""
@@ -154,7 +163,6 @@ def _factor_kernel(subs_ref, qc_ref, x0_ref, p2_ref,
         w_list.append(w_c)
         v_list.append(vk)
         pose_list.append(pose)
-        pt_ref[k : k + 1, :] = pose
 
     # Suffix composition t_k (transform AFTER sub-step k) and m = full frame.
     def compose(b, a):
@@ -172,14 +180,40 @@ def _factor_kernel(subs_ref, qc_ref, x0_ref, p2_ref,
     for k in range(s_steps):
         f0, f1, b3 = fb_list[k]
         c_k = compose(-w_list[k], t[k]) if use_heading else t[k]
-        f_prime.append((f0 + c_k * b3[2][0], f1 + c_k * b3[2][1]))
+        f_prime.append(f0 + c_k * b3[2][0])
+        f_prime.append(f1 + c_k * b3[2][1])
+
+    corr0 = jnp.zeros((1, 1), f32)
+    if use_heading:
+        for k in range(s_steps):
+            corr0 = corr0 + v_list[k] * w_list[k][:, 0:1]
+    w_cols = w_prime if use_heading else []
+    return pose, pose_list, corr0, m_c, f_prime, w_cols
+
+
+def _factor_kernel(subs_ref, qc_ref, x0_ref, p2_ref,
+                   xf_ref, pt_ref, vtf_ref, bm_ref,
+                   *, s_steps, nb, nbp, wheel_base, dt, sigma_heading,
+                   use_heading):
+    f32 = jnp.float32
+    d = x0_ref.shape[1]
+    r_head = sigma_heading * sigma_heading
+    lane4 = jax.lax.broadcasted_iota(jnp.int32, (1, 4), 1)
+    laned = jax.lax.broadcasted_iota(jnp.int32, (1, d), 1)
+
+    p2 = p2_ref[:, :]                                   # (1, D) = P e2
+    p22 = p2[:, 2:3]                                    # (1, 1)
+    pose, pose_list, corr0, m_c, f_prime, w_prime = coeff_recursion(
+        subs_ref, qc_ref, p2, x0_ref[:, 0:3], s_steps=s_steps,
+        wheel_base=wheel_base, dt=dt, sigma_heading=sigma_heading,
+        use_heading=use_heading,
+    )
+    for k in range(s_steps):
+        pt_ref[k : k + 1, :] = pose_list[k]
 
     # Mean: pose exact; map components get p2 * sum_k v_k w_k[0].
     base = x0_ref[:, :]
     if use_heading:
-        corr0 = jnp.zeros((1, 1), f32)
-        for k in range(s_steps):
-            corr0 = corr0 + v_list[k] * w_list[k][:, 0:1]
         base = base + jnp.where(laned >= 3, p2 * corr0, 0.0)
     xf = jnp.where(laned == 0, pose[:, 0:1],
                    jnp.where(laned == 1, pose[:, 1:2],
@@ -188,11 +222,8 @@ def _factor_kernel(subs_ref, qc_ref, x0_ref, p2_ref,
 
     # Factor strip rows: [m, p2] + 2S f-pairs [+ S w vectors], each the
     # represented vector p2 c[0] + e0 c[1] + e1 c[2] + e2 c[3].
-    c_cols = [m_c, c4(1.0, 0.0, 0.0, 0.0)]
-    for k in range(s_steps):
-        c_cols += [f_prime[k][0], f_prime[k][1]]
-    if use_heading:
-        c_cols += w_prime
+    ep2 = jnp.where(lane4 == 0, 1.0, jnp.zeros((1, 4), f32))
+    c_cols = [m_c, ep2] + f_prime + w_prime
 
     for j, c in enumerate(c_cols):
         row = p2 * c[:, 0:1]

@@ -846,6 +846,404 @@ def frame_update_obs(p, x, rows, zr, zb, mask, r_cov, bmat, vtf,
     return FrameUpdateObs(p=p_out, x=xn[0], nis=nis[0, 0])
 
 
+class FrameStep(NamedTuple):
+    """Outputs of the whole frame-step kernel (factors + observe + update)."""
+
+    p: jax.Array           # (D, D)  post-frame covariance
+    x: jax.Array           # (D,)    post-frame state mean (heading wrapped)
+    pose_trace: jax.Array  # (S, 3)  exact per-sub-step pose means
+    nis: jax.Array         # ()      stacked NIS
+
+
+def _framestep_kernel(subs_ref, qc_ref, zin_ref, rsc_ref, nblk_ref,
+                      x0_ref, x0rows_ref, prows_ref, prc_ref, p_ref,
+                      out_ref, xn_ref, pt_ref, nis_ref,
+                      phtt_scr, si_scr, fr_scr, p2c_scr, s_scr,
+                      *, tr, s_steps, wheel_base, dt, sigma_heading,
+                      use_heading):
+    """Whole-frame kernel body; see ``frame_step``.
+
+    On top of ``_fullframe_kernel`` this runs the frame-factor coefficient
+    recursion (ops.factor_kernel.coeff_recursion) in grid step 0 and exploits
+    the closed form of the factor strip: every factor column is
+    p2*c[0] + e0*c[1] + e1*c[2] + e2*c[3], so the frame's covariance
+    correction collapses to
+
+        V B V^T = U K4 U^T,   U = [p2, e0, e1, e2],   K4 = C B C^T  (4x4)
+
+    i.e. a rank-1 outer product against the resident P e2 row plus a 3-row/
+    3-column border — no (NB, D) strip, no (NB, D) matmuls, no separate
+    factor dispatch, and no host-side vtf gathers.  Both sides of the rank-1
+    term use the SAME row-2 vector (p2c scratch), so the correction is
+    exactly symmetric and inherits none of P's float asymmetry (the round-2
+    divergence lesson: any asym feedback with gain compounds at frame rate).
+    """
+    from conan_slam_tpu.ops.factor_kernel import coeff_recursion
+
+    f32 = jnp.float32
+    i = pl.program_id(0)
+    d = x0_ref.shape[1]
+
+    @pl.when(i == 0)
+    def _chain():
+        mp = s_scr.shape[0]
+        rp = prows_ref.shape[0]
+        r_head = sigma_heading * sigma_heading
+        laned = jax.lax.broadcasted_iota(jnp.int32, (1, d), 1)
+        lanerp = jax.lax.broadcasted_iota(jnp.int32, (1, rp), 1)
+
+        p2 = prows_ref[2:3, :]          # rows[0:3] == [0,1,2]: this is P e2^T
+        pose, pose_list, corr0, m_c, f_cols, w_cols = coeff_recursion(
+            subs_ref, qc_ref, p2, x0_ref[:, 0:3], s_steps=s_steps,
+            wheel_base=wheel_base, dt=dt, sigma_heading=sigma_heading,
+            use_heading=use_heading,
+        )
+        for k in range(s_steps):
+            pt_ref[k : k + 1, :] = pose_list[k]
+
+        # K4 = C B C^T over the coefficient columns [m, e_p2] + noise + gains
+        # (B: [[p22, 1], [1, 0]] corner, unit noise diag, r_head gain diag).
+        # p22 as a rank-0 scalar: a (1, 1) slice cannot broadcast to a
+        # multi-sublane multi-lane tile under Mosaic.
+        p22 = p2[:, 2:3][0, 0]
+
+        def outer4(a, b):
+            return jnp.transpose(a) * b                    # (4,1) * (1,4)
+
+        lane4 = jax.lax.broadcasted_iota(jnp.int32, (1, 4), 1)
+        ep2 = jnp.where(lane4 == 0, 1.0, 0.0).astype(f32)
+        k4 = p22 * outer4(m_c, m_c) + outer4(m_c, ep2) + outer4(ep2, m_c)
+        for c in f_cols:
+            k4 = k4 + outer4(c, c)
+        for c in w_cols:
+            k4 = k4 + r_head * outer4(c, c)
+
+        # Rank-0 scalar extraction (a (1, 1) slice carries a non-replicated
+        # Mosaic layout that cannot broadcast to wide tiles).
+        alpha = k4[0, 0]
+        g = [k4[1, 0], k4[2, 0], k4[3, 0]]
+        m3 = [[k4[r + 1, c + 1] for c in range(3)] for r in range(3)]
+
+        # Correction rows over full-D lanes and gathered-RP lanes.
+        p2r = prc_ref[2:3, :]                              # (1, RP)
+        wrow = alpha * p2
+        wr_row = alpha * p2r
+        for r in range(3):
+            wrow = wrow + jnp.where(laned == r, g[r], 0.0)
+            wr_row = wr_row + jnp.where(lanerp == r, g[r], 0.0)
+        sub8d = jax.lax.broadcasted_iota(jnp.int32, (8, d), 0)
+        lane8d = jax.lax.broadcasted_iota(jnp.int32, (8, d), 1)
+        sub8r = jax.lax.broadcasted_iota(jnp.int32, (8, rp), 0)
+        lane8r = jax.lax.broadcasted_iota(jnp.int32, (8, rp), 1)
+        m8 = jnp.zeros((8, d), f32)
+        m8r = jnp.zeros((8, rp), f32)
+        for r in range(3):
+            for c in range(3):
+                m8 = m8 + jnp.where(
+                    jnp.logical_and(sub8d == r, lane8d == c), m3[r][c], 0.0
+                )
+                m8r = m8r + jnp.where(
+                    jnp.logical_and(sub8r == r, lane8r == c), m3[r][c], 0.0
+                )
+
+        # Observe against the post-frame mean at the gathered rows: pose from
+        # the exact tracking, map rows get the p2*corr0 heading correction.
+        xrows = x0rows_ref[:, :] + p2r * corr0
+        xrows = jnp.where(
+            lanerp == 0, pose[:, 0:1],
+            jnp.where(lanerp == 1, pose[:, 1:2],
+                      jnp.where(lanerp == 2, pose[:, 2:3], xrows)),
+        )
+        hc, rmat, v2 = _observe_core(xrows, zin_ref[:, :], rsc_ref, mp, rp)
+
+        # pht = hc P'[rows] with P' = P + U K4 U^T applied in factored form:
+        # hc (p2r^T wrow + gsub p2 + s8 m8) — three tiny matmul/outer terms.
+        subrp1 = jax.lax.broadcasted_iota(jnp.int32, (rp, 1), 0)
+        gsub = jnp.zeros((rp, 1), f32)
+        for r in range(3):
+            gsub = gsub + jnp.where(subrp1 == r, g[r], 0.0)
+        s8 = jnp.logical_and(
+            jax.lax.broadcasted_iota(jnp.int32, (rp, 8), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (rp, 8), 1),
+            jax.lax.broadcasted_iota(jnp.int32, (rp, 8), 1) < 3,
+        ).astype(f32)
+        hp2 = jax.lax.dot_general(
+            hc, jnp.transpose(p2r),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=PRECISION,
+        )                                                   # (MP, 1)
+        hg = jax.lax.dot_general(
+            hc, gsub, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=PRECISION,
+        )                                                   # (MP, 1)
+        hcs = jax.lax.dot_general(
+            hc, s8, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=PRECISION,
+        )                                                   # (MP, 8)
+        pht = (
+            jax.lax.dot_general(
+                hc, prows_ref[:, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=PRECISION,
+            )
+            + hp2 * wrow
+            + hg * p2
+            + jax.lax.dot_general(
+                hcs, m8, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=PRECISION,
+            )
+        )                                                   # (MP, D)
+        phtt_scr[:, :] = pht.T
+        psub = (
+            jax.lax.dot_general(
+                hc, prc_ref[:, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=PRECISION,
+            )
+            + hp2 * wr_row
+            + hg * p2r
+            + jax.lax.dot_general(
+                hcs, m8r, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=PRECISION,
+            )
+        )                                                   # (MP, RP)
+        s = jax.lax.dot_general(
+            psub, hc, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32, precision=PRECISION,
+        ) + rmat
+        si = _sweep_si(s, s_scr, nblk=nblk_ref[0])
+        si_scr[:, :] = si
+        siv = jax.lax.dot_general(
+            v2, si, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=PRECISION,
+        )                                                   # (1, MP)
+
+        # Persist the panel-update rows: row 0 = wrow (rank-1 against p2),
+        # rows 8..10 = the 3-row border g_r p2 + M3[r, 0:3].
+        sub16 = jax.lax.broadcasted_iota(jnp.int32, (16, d), 0)
+        fr = jnp.where(sub16 == 0, wrow, jnp.zeros((16, d), f32))
+        for r in range(3):
+            bord_r = g[r] * p2
+            for c in range(3):
+                bord_r = bord_r + jnp.where(laned == c, m3[r][c], 0.0)
+            fr = fr + jnp.where(sub16 == 8 + r, bord_r, 0.0)
+        fr_scr[:, :] = fr
+        p2c_scr[:, :] = jnp.transpose(p2)
+
+        base = x0_ref[:, :] + jnp.where(laned >= 3, p2 * corr0, 0.0)
+        base = jnp.where(
+            laned == 0, pose[:, 0:1],
+            jnp.where(laned == 1, pose[:, 1:2],
+                      jnp.where(laned == 2, pose[:, 2:3], base)),
+        )
+        xn = base + jax.lax.dot_general(
+            siv, pht, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=PRECISION,
+        )
+        xn_ref[:, :] = jnp.where(laned == 2, _wrap(xn), xn)
+        nis_ref[0, 0] = jnp.sum(siv * v2)
+
+    wsi = jax.lax.dot_general(
+        phtt_scr[pl.ds(i * tr, tr), :], si_scr[:, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=PRECISION,
+    )                                                       # (tr, MP)
+    down = jax.lax.dot_general(
+        wsi, phtt_scr[:, :],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=PRECISION,
+    )                                                       # (tr, D)
+    p2p = p2c_scr[pl.ds(i * tr, tr), :]                     # (tr, 1)
+    out_ref[:, :] = p_ref[:, :] + p2p * fr_scr[0:1, :] - down
+
+    @pl.when(i == 0)
+    def _border():
+        out_ref[0:8, :] = out_ref[0:8, :] + fr_scr[8:16, :]
+
+
+def _pick_framestep_tile(d: int, mp: int, rp: int) -> int:
+    """Row-panel size for the one-dispatch frame-step schedule, or 0 if no
+    tile fits the VMEM budget.
+
+    Accounting (same discipline as ``_pick_frame_tile``): rows-of-D resident
+    are prows (rp) + phtt + step-0 pht/hm temps (3 mp) + fr (16) + m8 (8) +
+    x0/xn (2) + the lane-padded (D, 1) p2 column (128); small blocks are the
+    sweep/S^-1 scratch + S temps (4 mp^2), prc + psub temps (rp^2 + 2 mp rp),
+    hc/rmat temps (2 mp rp + mp^2) and the tiny inputs; panels are
+    double-buffered (tr, D) in/out plus (tr, D) down/corr and (tr, mp) wsi
+    temps.
+    """
+    if d % 128:
+        return 0
+    budget = _FK_VMEM_BUDGET
+    fixed = (rp + 3 * mp + 16 + 8 + 2 + 128) * d * 4
+    fixed += (4 * mp * mp + rp * rp + 2 * mp * rp) * 4
+    fixed += (2 * mp * rp + mp * mp) * 4
+    fixed += (2 * rp + mp // 2 * 8 + 16 * rp) * 4
+    for cand in (512, 256, 128):
+        if d % cand:
+            continue
+        if fixed + cand * (5 * d + mp) * 4 <= budget:
+            return cand
+    return 0
+
+
+def can_fuse_frame_step(d: int, nz: int) -> bool:
+    """Whether ``frame_step`` runs its one-dispatch TPU schedule at these
+    shapes (shared predicate for filters.ekf.update.fused_frame_step)."""
+    mp = _round_up(2 * nz, 128)
+    rp = _round_up(3 + 2 * nz, 8)
+    return _pick_framestep_tile(d, mp, rp) > 0
+
+
+def frame_step(p, x, rows, vns, swans, phis, actives, q_cov,
+               zr, zb, mask, r_cov, wheel_base, dt, sigma_heading,
+               use_heading: bool, *, interpret: bool = False) -> FrameStep:
+    """The WHOLE observation frame — S predict+heading sub-steps (as the
+    fastframe coefficient recursion), range-bearing observe, measurement
+    chain and the P rank update — in ONE Pallas dispatch.
+
+    On top of ``frame_update_obs`` this fuses ops.factor_kernel's recursion
+    into grid step 0 and replaces the (NB, D) factor strips with the rank-4
+    closed form (see ``_framestep_kernel``), so the host side contributes
+    only the measurement buffer, the per-sub-step control scalars and three
+    pre-gathered strips of the FRAME-START state (p[rows], p[rows][:, rows],
+    x[rows]) — association (a table lookup) is the only thing left between
+    frames.  Reference anchors: EKF::predict (EKF.cpp:406-455),
+    EKF::observeHeading (EKF.cpp:328-352), EKF::batchUpdate (EKF.cpp:93-129),
+    choleskyUpdate (slam.h:235-266).
+
+    Args:
+      p:       (D, D) frame-start covariance, D % 128 == 0 on the TPU path.
+      x:       (D,) frame-start state mean.
+      rows:    (3 + 2 NZ,) int32 gathered row indices [0, 1, 2, slot rows...].
+      vns/swans/phis/actives: (S,) per-sub-step noisy controls, measured
+               heading and active flags.
+      q_cov:   (2, 2) filter control noise.
+      zr/zb:   (NZ,) measured range / bearing; mask: (NZ,) bool validity.
+      r_cov:   (2, 2) measurement noise.
+
+    Returns ``FrameStep(p, x, pose_trace, nis)``.
+    """
+    d = p.shape[0]
+    nz = zr.shape[0]
+    s_steps = vns.shape[0]
+    mp = _round_up(2 * nz, 128)
+    nzl = mp // 2
+    rp = _round_up(rows.shape[0], 8)
+    f32 = p.dtype
+
+    mask_f = mask.astype(f32)
+    zin = jnp.zeros((8, nzl), f32)
+    zin = zin.at[0, :nz].set(jnp.where(mask, zr, 0.0))
+    zin = zin.at[1, :nz].set(jnp.where(mask, zb, 0.0))
+    zin = zin.at[2, :nz].set(mask_f)
+    rsc = jnp.asarray(r_cov, f32).reshape(4)
+    nblk = jnp.max(
+        jnp.where(mask, jnp.arange(1, nz + 1, dtype=jnp.int32), 0)
+    ).reshape(1)
+    subs = jnp.stack([
+        vns.astype(f32), swans.astype(f32), phis.astype(f32),
+        actives.astype(f32),
+    ])                                                      # (4, S)
+    q_chol = jnp.linalg.cholesky(q_cov)
+    qc = jnp.stack([q_chol[0, 0], q_chol[1, 0], q_chol[1, 1]])
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    use_kernel = on_tpu or interpret
+    tr = _pick_framestep_tile(d, mp, rp) if use_kernel else 0
+    if not (use_kernel and tr):
+        return _frame_step_reference(
+            p, x, rows, vns, swans, phis, actives, q_cov, zin, rsc, mp, rp,
+            wheel_base, dt, sigma_heading, use_heading,
+        )
+
+    nr = rows.shape[0]
+    prows_u = p[rows]                                       # (R, D)
+    prows = jnp.pad(prows_u, ((0, rp - nr), (0, 0)))
+    prc = jnp.pad(prows_u[:, rows], ((0, rp - nr), (0, rp - nr)))
+    x0rows = jnp.pad(x[rows], (0, rp - nr)).reshape(1, rp)
+    x_row = x.reshape(1, d)
+
+    cost = pl.CostEstimate(
+        flops=2 * d * d * mp + 2 * mp * d * rp,
+        bytes_accessed=2 * d * d * 4 + (rp + 2 * mp) * d * 4,
+        transcendentals=4 * nzl + 8 * s_steps,
+    )
+    bcast = lambda i: (0, 0)  # noqa: E731
+    kernel = functools.partial(
+        _framestep_kernel, tr=tr, s_steps=s_steps,
+        wheel_base=float(wheel_base), dt=float(dt),
+        sigma_heading=float(sigma_heading), use_heading=use_heading,
+    )
+    p_out, xn, pt, nis = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((d, d), f32),
+            jax.ShapeDtypeStruct((1, d), f32),
+            jax.ShapeDtypeStruct((s_steps, 3), f32),
+            jax.ShapeDtypeStruct((1, 1), f32),
+        ),
+        grid=(d // tr,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # subs
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # qc
+            pl.BlockSpec((8, nzl), bcast, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # rsc
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # nblk
+            pl.BlockSpec((1, d), bcast, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rp), bcast, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp, d), bcast, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp, rp), bcast, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tr, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), bcast, memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_steps, 3), bcast, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), bcast, memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((d, mp), f32),            # phtT
+            pltpu.VMEM((mp, mp), f32),           # S^-1
+            pltpu.VMEM((16, d), f32),            # wrow + border rows
+            pltpu.VMEM((d, 1), f32),             # p2 column
+            pltpu.VMEM((mp, mp), f32),           # sweep scratch
+        ],
+        cost_estimate=cost,
+        interpret=interpret,
+    )(subs, qc, zin, rsc, nblk, x_row, x0rows, prows, prc, p)
+    return FrameStep(p=p_out, x=xn[0], pose_trace=pt, nis=nis[0, 0])
+
+
+def _frame_step_reference(p, x, rows, vns, swans, phis, actives, q_cov,
+                          zin, rsc, mp, rp, wheel_base, dt, sigma_heading,
+                          use_heading):
+    """jnp mirror of the frame-step kernel: the traced fastframe recursion
+    composed with the whole-frame reference chain (identical algebra)."""
+    from conan_slam_tpu.filters.ekf.fastframe import _frame_core
+    from conan_slam_tpu.filters.ekf.state import EKFState
+
+    shim = EKFState(
+        x=x, p=p, n_active=jnp.int32(0), table=jnp.zeros((1,), jnp.int32)
+    )
+    x1, pose_trace, vmat, bmat = _frame_core(
+        shim, vns, swans, phis, actives, q_cov, wheel_base, dt,
+        sigma_heading, use_heading,
+    )
+    nb = bmat.shape[0]
+    nbp = _round_up(nb, 8)
+    vtf = jnp.pad(vmat.T, ((0, nbp - nb), (0, 0)))
+    bm = jnp.pad(bmat, ((0, nbp - nb), (0, nbp - nb)))
+    nr = rows.shape[0]
+    rows_p = jnp.full((rp,), -1, jnp.int32).at[:nr].set(rows)
+    prows = jnp.pad(p[rows], ((0, rp - nr), (0, 0)))
+    fu = _frame_update_obs_reference(
+        p, x1.reshape(1, -1), rows_p, prows, zin, rsc, bm, vtf, mp, rp
+    )
+    return FrameStep(p=fu.p, x=fu.x, pose_trace=pose_trace, nis=fu.nis)
+
+
 def _frame_update_obs_reference(p, x_row, rows, prows, zin, rsc, bmat, vtf,
                                 mp, rp):
     """jnp mirror of the in-kernel observe + chain + rank update."""

@@ -158,14 +158,6 @@ def ekf_precomp_frame_step(state, frame, *, cfg: SlamConfig, world: World, noise
         vns = jnp.full_like(swa_f, cfg.velocity)
         swans = swa_f
 
-    from conan_slam_tpu.ops.factor_kernel import frame_factors_fused
-
-    state, pose_trace, vtf, bmat = frame_factors_fused(
-        state, vns, swans, x_true_f[:, 2], active_f,
-        noise.qe, cfg.wheel_base, cfg.dt_controls, cfg.sigma_heading,
-        cfg.switch_heading_known,
-    )
-
     z = z_true_f
     if cfg.switch_sensor_noise:
         scale = jnp.asarray([cfg.sigma_r, cfg.sigma_b], z.dtype)
@@ -178,17 +170,33 @@ def ekf_precomp_frame_step(state, frame, *, cfg: SlamConfig, world: World, noise
 
     live = jnp.logical_not(done_f[-1])
     if cfg.switch_association_known:
+        # Known association is a table lookup independent of the frame's
+        # predict/heading factors, so the WHOLE frame (factors + observe +
+        # update) runs as one device kernel (ekf.update.fused_frame_step).
         assoc = ekf_mod.associate_known(state, obs)
+        state, pose_trace, frame_nis = ekf_mod.fused_frame_step(
+            state, vns, swans, x_true_f[:, 2], active_f, noise.qe, obs,
+            assoc.slots, jnp.logical_and(assoc.known_mask, live), noise.re,
+            cfg.wheel_base, cfg.dt_controls, cfg.sigma_heading,
+            cfg.switch_heading_known,
+        )
     else:
+        from conan_slam_tpu.ops.factor_kernel import frame_factors_fused
+
+        state, pose_trace, vtf, bmat = frame_factors_fused(
+            state, vns, swans, x_true_f[:, 2], active_f,
+            noise.qe, cfg.wheel_base, cfg.dt_controls, cfg.sigma_heading,
+            cfg.switch_heading_known,
+        )
         assoc = ekf_mod.associate_gated(
             state, obs, noise.re, cfg.gate_reject, cfg.gate_augment,
             vtf.T, bmat,
         )
-    state, frame_nis = ekf_mod.fused_frame_update(
-        state, None, bmat, obs, assoc.slots,
-        jnp.logical_and(assoc.known_mask, live), noise.re,
-        return_nis=True, vtf=vtf,
-    )
+        state, frame_nis = ekf_mod.fused_frame_update(
+            state, None, bmat, obs, assoc.slots,
+            jnp.logical_and(assoc.known_mask, live), noise.re,
+            return_nis=True, vtf=vtf,
+        )
     new_mask = jnp.logical_and(assoc.new_mask, live)
     state = jax.lax.cond(
         jnp.any(new_mask),
@@ -376,6 +384,11 @@ def ekf_frame_step(carry: EKFSimCarry, _, *, cfg: SlamConfig, world: World, nois
     steer_state, x_true, state = carry.steer, carry.x_true, carry.state
 
     fused = cfg.fast_frame and cfg.fused_obs and cfg.switch_batch_update
+    # With known association the association is a table lookup independent of
+    # the frame factors, so factors + observe + update collapse into ONE
+    # device kernel (filters.ekf.update.fused_frame_step) after the obs
+    # buffer is assembled below.
+    fused_step = fused and cfg.switch_association_known
     if cfg.fast_frame:
         # Rank-compounded frame update (filters.ekf.fastframe): advance the
         # cheap O(1) truth/steering chain per sub-step, then apply all
@@ -402,7 +415,9 @@ def ekf_frame_step(carry: EKFSimCarry, _, *, cfg: SlamConfig, world: World, nois
             noise.qe, cfg.wheel_base, cfg.dt_controls, cfg.sigma_heading,
             cfg.switch_heading_known,
         )
-        if fused:
+        if fused_step:
+            pose_trace = None   # produced by the one-shot frame step below
+        elif fused:
             # P is rewritten exactly once per frame: the frame's factored
             # predict+heading correction folds into the measurement update
             # (filters.ekf.update.fused_frame_update).
@@ -413,10 +428,6 @@ def ekf_frame_step(carry: EKFSimCarry, _, *, cfg: SlamConfig, world: World, nois
             state, pose_trace = ekf_mod.frame_predict_heading(
                 state, *frame_args, return_pose_trace=True
             )
-        # Per-sub-step pose estimates come from the exact pose tracking
-        # inside the compounding (mean of the filter at each sub-step).
-        for k in range(interval):
-            sub_outs[k] = sub_outs[k]._replace(x_est=pose_trace[k])
     else:
         for k in range(interval):
             was_done = steer_state.done
@@ -448,8 +459,14 @@ def ekf_frame_step(carry: EKFSimCarry, _, *, cfg: SlamConfig, world: World, nois
         )
         obs = compact(obs_full, nz)
         live = jnp.logical_not(steer_state.done)
-        if cfg.switch_association_known:
+        if fused_step:
             assoc = ekf_mod.associate_known(state, obs)
+            state, pose_trace, frame_nis = ekf_mod.fused_frame_step(
+                state, *frame_args[:4], noise.qe, obs, assoc.slots,
+                jnp.logical_and(assoc.known_mask, live), noise.re,
+                cfg.wheel_base, cfg.dt_controls, cfg.sigma_heading,
+                cfg.switch_heading_known,
+            )
         else:
             # Gate against the virtual covariance P + V B V^T (the pending
             # frame factors) — same post-predict gating semantics as the
@@ -458,11 +475,11 @@ def ekf_frame_step(carry: EKFSimCarry, _, *, cfg: SlamConfig, world: World, nois
                 state, obs, noise.re, cfg.gate_reject, cfg.gate_augment,
                 vtf.T, bmat,
             )
-        state, frame_nis = ekf_mod.fused_frame_update(
-            state, None, bmat, obs, assoc.slots,
-            jnp.logical_and(assoc.known_mask, live), noise.re,
-            return_nis=True, vtf=vtf,
-        )
+            state, frame_nis = ekf_mod.fused_frame_update(
+                state, None, bmat, obs, assoc.slots,
+                jnp.logical_and(assoc.known_mask, live), noise.re,
+                return_nis=True, vtf=vtf,
+            )
         new_mask = jnp.logical_and(assoc.new_mask, live)
         state = jax.lax.cond(
             jnp.any(new_mask),
@@ -490,6 +507,11 @@ def ekf_frame_step(carry: EKFSimCarry, _, *, cfg: SlamConfig, world: World, nois
         state = jax.lax.cond(
             jnp.logical_not(steer_state.done), obs_branch, lambda s: s, state
         )
+    # Per-sub-step pose estimates come from the exact pose tracking inside
+    # the compounding (mean of the filter at each sub-step).
+    if cfg.fast_frame:
+        for k in range(interval):
+            sub_outs[k] = sub_outs[k]._replace(x_est=pose_trace[k])
     # The frame's last sub-step output reflects the post-update estimate.
     frame_cons = frame_nis if fused else jnp.float32(0.0)
     sub_outs[-1] = sub_outs[-1]._replace(

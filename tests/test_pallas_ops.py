@@ -397,3 +397,182 @@ def test_rank_update_downdate_non_tileable_falls_back():
     )
     ref = p + v @ b @ v.T - w1 @ w1.T
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-3)
+
+
+def _frame_step_problem(seed=31, s=6):
+    """A realistic whole-frame-step problem (factors + obs in one kernel)."""
+    state, _vmat, _bmat, obs, slots, mask, r_cov = _mega_setup(seed=seed)
+    rng = np.random.default_rng(seed)
+    vns = jnp.asarray(83.33 + rng.normal(size=s).astype(np.float32) * 0.3)
+    swans = jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.2)
+    phis = jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.5)
+    active = jnp.asarray(np.array([1, 1, 1, 1, 1, 0], bool))
+    q = jnp.diag(jnp.asarray([0.3**2, (np.pi / 180) ** 2], jnp.float32))
+    return state, obs, slots, mask, r_cov, (vns, swans, phis, active, q)
+
+
+def test_frame_step_kernel_matches_factored_path():
+    # The one-dispatch whole-frame-step kernel (coefficient recursion +
+    # observe + chain + rank-4 frame correction) vs frame_factors followed by
+    # the non-Pallas fused_frame_update — identical algebra, so agreement is
+    # tight float32.
+    from conan_slam_tpu.filters.ekf.fastframe import frame_factors
+    from conan_slam_tpu.filters.ekf.update import fused_frame_update
+    from conan_slam_tpu.ops.frame_kernel import frame_step
+
+    for use_heading, seed in ((True, 31), (False, 37)):
+        state, obs, slots, mask, r_cov, fargs = _frame_step_problem(seed=seed)
+        vns, swans, phis, active, q = fargs
+
+        ref1, ref_pt, ref_vmat, ref_bmat = frame_factors(
+            state, vns, swans, phis, active, q, 73.0, 0.01,
+            0.01 * np.pi / 180, use_heading,
+        )
+        ref_state, ref_nis = fused_frame_update(
+            ref1, ref_vmat, ref_bmat, obs, slots, mask, r_cov,
+            use_pallas=False, return_nis=True,
+        )
+
+        safe = np.clip(np.asarray(slots), 0, state.capacity - 1)
+        rows = np.concatenate(
+            [np.arange(3), (3 + 2 * safe[:, None] + np.arange(2)).reshape(-1)]
+        ).astype(np.int32)
+        n_meas = max(float(np.sum(np.asarray(mask))), 1.0)
+        for interpret in (False, True):
+            out = frame_step(
+                state.p, state.x, jnp.asarray(rows), vns, swans, phis, active,
+                q, obs.z[:, 0], obs.z[:, 1], mask, r_cov, 73.0, 0.01,
+                0.01 * np.pi / 180, use_heading, interpret=interpret,
+            )
+            np.testing.assert_allclose(
+                np.asarray(out.pose_trace), np.asarray(ref_pt),
+                rtol=1e-5, atol=1e-5,
+            )
+            np.testing.assert_allclose(
+                np.asarray(out.x), np.asarray(ref_state.x), rtol=1e-4, atol=1e-4
+            )
+            np.testing.assert_allclose(
+                np.asarray(out.p), np.asarray(ref_state.p), rtol=1e-3, atol=1e-4
+            )
+            np.testing.assert_allclose(
+                float(out.nis) / n_meas, float(ref_nis), rtol=1e-3, atol=1e-5
+            )
+
+
+def test_fused_frame_step_wrapper_matches_kernel_semantics():
+    # The filters.ekf entry (association-known whole frame) must agree with
+    # the factored path regardless of which branch it picks.
+    from conan_slam_tpu.filters.ekf.update import fused_frame_step
+
+    state, obs, slots, mask, r_cov, fargs = _frame_step_problem(seed=41)
+    vns, swans, phis, active, q = fargs
+
+    ref_state, ref_pt, ref_nis = fused_frame_step(
+        state, vns, swans, phis, active, q, obs, slots, mask, r_cov,
+        73.0, 0.01, 0.01 * np.pi / 180, True,
+    )
+    out_state, out_pt, out_nis = fused_frame_step(
+        state, vns, swans, phis, active, q, obs, slots, mask, r_cov,
+        73.0, 0.01, 0.01 * np.pi / 180, True, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_pt), np.asarray(ref_pt), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_state.x), np.asarray(ref_state.x), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_state.p), np.asarray(ref_state.p), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(out_nis), float(ref_nis), rtol=1e-3, atol=1e-5
+    )
+
+
+def test_frame_step_all_masked_is_factor_only():
+    # No associated measurements: the frame step degenerates to the factored
+    # predict+heading correction alone (P + V B V^T, mean = factor mean).
+    from conan_slam_tpu.filters.ekf.fastframe import frame_predict_heading
+    from conan_slam_tpu.ops.frame_kernel import frame_step
+
+    state, obs, slots, mask, r_cov, fargs = _frame_step_problem(seed=43)
+    vns, swans, phis, active, q = fargs
+    mask = jnp.zeros_like(mask)
+
+    ref_state = frame_predict_heading(
+        state, vns, swans, phis, active, q, 73.0, 0.01,
+        0.01 * np.pi / 180, True,
+    )
+    safe = np.clip(np.asarray(slots), 0, state.capacity - 1)
+    rows = np.concatenate(
+        [np.arange(3), (3 + 2 * safe[:, None] + np.arange(2)).reshape(-1)]
+    ).astype(np.int32)
+    out = frame_step(
+        state.p, state.x, jnp.asarray(rows), vns, swans, phis, active, q,
+        obs.z[:, 0], obs.z[:, 1], mask, r_cov, 73.0, 0.01,
+        0.01 * np.pi / 180, True, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.x), np.asarray(ref_state.x), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.p), np.asarray(ref_state.p), rtol=1e-3, atol=1e-4
+    )
+    assert abs(float(out.nis)) < 1e-6
+
+
+def test_gating_kernel_matches_jnp_association():
+    # Blocked Pallas gating (ops.gating_kernel) vs the dense jnp path, with
+    # and without the virtual-covariance correction, odd K (panel padding)
+    # and an out-of-range measurement that must found a new feature.
+    from conan_slam_tpu.filters import ekf as ekf_mod
+    from conan_slam_tpu.filters.common import CompactObs
+
+    rng = np.random.default_rng(51)
+    k = 87
+    lm = rng.uniform(-60, 60, size=(k, 2)).astype(np.float32)
+    state = ekf_mod.init_state_with_map(lm, sigma0=0.4, pad_multiple=128)
+    a = rng.normal(size=(state.x.shape[0], 6)).astype(np.float32) * 0.03
+    state = state._replace(
+        p=state.p + jnp.asarray(a @ a.T),
+        n_active=jnp.int32(k - 5),       # last 5 slots inactive
+    )
+    nz = 12
+    ids = rng.choice(k - 5, size=nz, replace=False).astype(np.int32)
+    z = np.stack(
+        [
+            np.hypot(lm[ids, 0], lm[ids, 1]) + rng.normal(size=nz) * 0.1,
+            np.arctan2(lm[ids, 1], lm[ids, 0]) + rng.normal(size=nz) * 0.01,
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    z[-1] = [500.0, 1.0]                 # far away: new feature
+    mask = np.ones(nz, bool)
+    mask[-2] = False
+    obs = CompactObs(z=jnp.asarray(z), ids=jnp.asarray(ids), mask=jnp.asarray(mask))
+    r_cov = jnp.diag(jnp.asarray([0.1**2, (np.pi / 180) ** 2], jnp.float32))
+
+    nb = 10
+    vmat = jnp.asarray(rng.normal(size=(state.x.shape[0], nb)).astype(np.float32) * 0.01)
+    b = rng.normal(size=(nb, nb)).astype(np.float32) * 0.1
+    bmat = jnp.asarray(0.5 * (b + b.T))
+
+    for vm, bm in ((None, None), (vmat, bmat)):
+        ref = ekf_mod.associate_gated(
+            state, obs, r_cov, 50.0, 1000.0, vm, bm, use_pallas=False
+        )
+        got = ekf_mod.associate_gated(
+            state, obs, r_cov, 50.0, 1000.0, vm, bm,
+            use_pallas=True, interpret=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.known_mask), np.asarray(ref.known_mask)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.new_mask), np.asarray(ref.new_mask)
+        )
+        km = np.asarray(ref.known_mask)
+        np.testing.assert_array_equal(
+            np.asarray(got.slots)[km], np.asarray(ref.slots)[km]
+        )
+        assert np.asarray(got.new_mask)[-1]          # the far measurement
