@@ -45,7 +45,7 @@ def main(modes):
     from conan_slam_tpu.core.linalg import PRECISION, safe_cholesky, sym
     from conan_slam_tpu.filters import ekf as ekf_mod
     from conan_slam_tpu.filters.ekf.observe import build_batch_operator
-    from conan_slam_tpu.ops.pallas_update import rank_update_downdate
+    from conan_slam_tpu.ops.pallas_update import rank_update_t
     from conan_slam_tpu.runner.loop import make_noise, run_ekf_slam_precomputed
     from conan_slam_tpu.sim import sensor_sim
     from conan_slam_tpu.sim.precompute import rollout_truth
@@ -96,14 +96,13 @@ def main(modes):
             noise.qe, cfg.wheel_base, cfg.dt_controls, cfg.sigma_heading,
             cfg.switch_heading_known,
         )
-        w1 = 1e-20 * vmat[:, :2]
-        p = rank_update_downdate(state.p, vmat, bmat, w1)
+        p = rank_update_t(state.p, vmat.T, bmat)
         return state._replace(p=p), pose_trace[-1]
 
     def ppass_step(carry, frame):
-        state, vmat, bmat, w1 = carry
-        p = rank_update_downdate(state.p, vmat, bmat, w1)
-        return (state._replace(p=p), vmat, bmat, w1), p[0, 0]
+        state, vt, bmat = carry
+        p = rank_update_t(state.p, vt, bmat)
+        return (state._replace(p=p), vt, bmat), p[0, 0]
 
     def smallchain_step(state, frame):
         x_true_f, vns, swans, active_f, done_f, obs_noise_f = frame_inputs(frame)
@@ -137,21 +136,6 @@ def main(modes):
         rmat = jnp.eye(mp, dtype=jnp.float32)
         vpad = jnp.zeros((mp,), jnp.float32)
         return rows131, hc, bmat, vtf, rmat, vpad
-
-    def megachain_step(carry, _):
-        from conan_slam_tpu.ops.frame_kernel import measurement_chain
-        from conan_slam_tpu.ops.pallas_update import rank_update_t2
-        state, rows131, hc, bmat, vtf, rmat, vpad = carry
-        chain = measurement_chain(state.p, rows131, hc, bmat, vtf, rmat, vpad)
-        p = rank_update_t2(state.p, vtf, chain.bvt, chain.pht, chain.nsipht)
-        return (state._replace(p=p), rows131, hc, bmat, vtf, rmat, vpad), chain.nis
-
-    def megaonly_step(carry, _):
-        from conan_slam_tpu.ops.frame_kernel import measurement_chain
-        state, rows131, hc, bmat, vtf, rmat, vpad = carry
-        chain = measurement_chain(state.p, rows131, hc, bmat, vtf, rmat, vpad)
-        state = state._replace(x=state.x + 1e-20 * chain.dx)
-        return (state, rows131, hc, bmat, vtf, rmat, vpad), chain.nis
 
     def gather_step(carry, _):
         import jax.numpy as jnp
@@ -234,26 +218,20 @@ def main(modes):
         timeit("factors", run_scan(factors_step, state0, frames), state0, frames)
 
     if "ppass" in modes:
-        r = 20
-        vmat = jnp.asarray(rng.normal(size=(d, r)).astype(np.float32) * 1e-4)
-        bmat = jnp.eye(r, dtype=jnp.float32)
-        w1 = jnp.asarray(rng.normal(size=(d, 2 * nz)).astype(np.float32) * 1e-4)
+        r = 152   # ~the fused frame's rank (MP + frame factors)
+        vt = jnp.asarray(rng.normal(size=(r, d)).astype(np.float32) * 1e-4)
+        bmat = jnp.eye(r, dtype=jnp.float32) * 1e-6
         dummy = jnp.zeros((n_frames,), jnp.float32)
-        timeit("ppass", run_scan(ppass_step, (state0, vmat, bmat, w1), dummy),
-               (state0, vmat, bmat, w1), dummy)
+        timeit("ppass", run_scan(ppass_step, (state0, vt, bmat), dummy),
+               (state0, vt, bmat), dummy)
 
     if "smallchain" in modes:
         timeit("smallchain", run_scan(smallchain_step, state0, frames), state0, frames)
 
-    if {"megachain", "megaonly", "gather"} & set(modes):
+    if "gather" in modes:
         carry0 = (state0,) + make_mega_inputs()
         dummy = jnp.zeros((n_frames,), jnp.float32)
-        if "megachain" in modes:
-            timeit("megachain", run_scan(megachain_step, carry0, dummy), carry0, dummy)
-        if "megaonly" in modes:
-            timeit("megaonly", run_scan(megaonly_step, carry0, dummy), carry0, dummy)
-        if "gather" in modes:
-            timeit("gather", run_scan(gather_step, carry0, dummy), carry0, dummy)
+        timeit("gather", run_scan(gather_step, carry0, dummy), carry0, dummy)
 
     if "fullkernel" in modes:
         # The production whole-frame megakernel (frame_update_obs) alone,
@@ -286,6 +264,40 @@ def main(modes):
         timeit(
             "fullkernel",
             run_scan(fullkernel_step, (state0.p, state0.x), dummy),
+            (state0.p, state0.x), dummy,
+        )
+
+    if "stepkernel" in modes:
+        # The production whole-frame-step kernel (frame_step) alone: fixed
+        # measurement/control inputs, P and x carried frame to frame.
+        from conan_slam_tpu.ops.frame_kernel import frame_step
+
+        slots = jnp.arange(nz, dtype=jnp.int32)
+        rows2 = (3 + 2 * slots[:, None] + jnp.arange(2)[None, :]).reshape(-1)
+        rows131 = jnp.concatenate([jnp.arange(3, dtype=jnp.int32), rows2])
+        zr = jnp.asarray(np.hypot(lm[:nz, 0], lm[:nz, 1]).astype(np.float32))
+        zb = jnp.asarray(np.arctan2(lm[:nz, 1], lm[:nz, 0]).astype(np.float32))
+        mask = jnp.ones((nz,), bool)
+        r_cov = jnp.asarray(noise.re)
+        s = interval
+        vns_f = jnp.full((s,), cfg.velocity, jnp.float32)
+        swans_f = jnp.zeros((s,), jnp.float32)
+        phis_f = jnp.zeros((s,), jnp.float32)
+        actives_f = jnp.ones((s,), bool)
+
+        def stepkernel_step(carry, _):
+            p, x = carry
+            fs = frame_step(
+                p, x, rows131, vns_f, swans_f, phis_f, actives_f,
+                jnp.asarray(noise.qe), zr, zb, mask, r_cov,
+                cfg.wheel_base, cfg.dt_controls, cfg.sigma_heading, True,
+            )
+            return (fs.p, fs.x), fs.nis
+
+        dummy = jnp.zeros((n_frames,), jnp.float32)
+        timeit(
+            "stepkernel",
+            run_scan(stepkernel_step, (state0.p, state0.x), dummy),
             (state0.p, state0.x), dummy,
         )
 

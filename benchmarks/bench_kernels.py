@@ -24,9 +24,21 @@ def main():
     import jax.numpy as jnp
 
     from conan_slam_tpu.ops.pallas_update import (
-        rank_update_downdate,
-        rank_update_downdate_reference,
+        rank_update_t,
+        rank_update_t_reference,
     )
+
+    def rank_update_downdate_reference(p, v, b, w1):
+        return rank_update_t_reference(p, v.T, b) - w1 @ w1.T
+
+    def rank_update_downdate(p, v, b, w1):
+        # Fold the downdate strip into the middle matrix: [V W1] diag(B, -I).
+        r, m = v.shape[1], w1.shape[1]
+        vt = jnp.concatenate([v.T, w1.T], axis=0)
+        bb = jnp.zeros((r + m, r + m), p.dtype)
+        bb = bb.at[:r, :r].set(b)
+        bb = bb.at[r:, r:].set(-jnp.eye(m, dtype=p.dtype))
+        return rank_update_t(p, vt, bb)
 
     print("devices:", jax.devices(), file=sys.stderr)
     rng = np.random.default_rng(0)

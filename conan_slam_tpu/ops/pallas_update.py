@@ -138,199 +138,3 @@ def rank_update_t2_reference(p, vt1, vbt1, vt2, vbt2):
         + jnp.matmul(vt1.T, vbt1, precision=PRECISION)
         + jnp.matmul(vt2.T, vbt2, precision=PRECISION)
     )
-
-
-def rank_update_t2(p, vt1, vbt1, vt2, vbt2, *, interpret: bool = False):
-    """Fused P + vt1^T vbt1 + vt2^T vbt2 with PRE-MULTIPLIED row strips.
-
-    Companion to ops.frame_kernel.measurement_chain, which already produces
-    the middle-matrix products (vbt1 = B V^T, vbt2 = -S^-1 phtT): taking the
-    two strip pairs separately avoids the (r1+r2, D) concatenation copies and
-    the in-kernel B multiply of ``rank_update_t``.  Each (tr, D) row panel of
-    P is read once, hit with two MXU matmuls against the resident strips,
-    and written once.
-    """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    if not interpret and jax.default_backend() not in ("tpu", "axon"):
-        return rank_update_t2_reference(p, vt1, vbt1, vt2, vbt2)
-
-    d = p.shape[0]
-
-    def pad8(a):
-        rm = _round_up(a.shape[0], 8)
-        return jnp.pad(a, ((0, rm - a.shape[0]), (0, 0))) if rm != a.shape[0] else a
-
-    vt1, vbt1, vt2, vbt2 = pad8(vt1), pad8(vbt1), pad8(vt2), pad8(vbt2)
-    r1, r2 = vt1.shape[0], vt2.shape[0]
-
-    cost = pl.CostEstimate(
-        flops=2 * d * d * (r1 + r2),
-        bytes_accessed=2 * d * d * 4 + 2 * d * (r1 + r2) * 4,
-        transcendentals=0,
-    )
-
-    def kernel(p_ref, vt1_ref, vbt1_ref, vt2_ref, vbt2_ref, out_ref):
-        out_ref[:, :] = (
-            p_ref[:, :]
-            + jax.lax.dot_general(
-                vt1_ref[:, :], vbt1_ref[:, :],
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=PRECISION,
-            )
-            + jax.lax.dot_general(
-                vt2_ref[:, :], vbt2_ref[:, :],
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=PRECISION,
-            )
-        )
-
-    if d % 128 == 0:
-        budget = 12 * 2**20
-        for tr in (512, 256, 128):
-            if d % tr:
-                continue
-            need = (4 * tr * d + (r1 + r2) * (tr + d)) * 4
-            if need <= budget:
-                return pl.pallas_call(
-                    kernel,
-                    out_shape=jax.ShapeDtypeStruct((d, d), p.dtype),
-                    grid=(d // tr,),
-                    in_specs=[
-                        pl.BlockSpec((tr, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                        pl.BlockSpec((r1, tr), lambda i: (0, i), memory_space=pltpu.VMEM),
-                        pl.BlockSpec((r1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                        pl.BlockSpec((r2, tr), lambda i: (0, i), memory_space=pltpu.VMEM),
-                        pl.BlockSpec((r2, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                    ],
-                    out_specs=pl.BlockSpec(
-                        (tr, d), lambda i: (i, 0), memory_space=pltpu.VMEM
-                    ),
-                    cost_estimate=cost,
-                    interpret=interpret,
-                )(p, vt1, vbt1, vt2, vbt2)
-
-    t = _pick_tile(d) or 256
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((d, d), p.dtype),
-        grid=(pl.cdiv(d, t), pl.cdiv(d, t)),
-        in_specs=[
-            pl.BlockSpec((t, t), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((r1, t), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((r1, t), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((r2, t), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((r2, t), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((t, t), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-        cost_estimate=cost,
-        interpret=interpret,
-    )(p, vt1, vbt1, vt2, vbt2)
-
-
-def rank_update_downdate(p, v, b, w1=None, *, interpret: bool = False):
-    """Fused P + V B V^T [- W1 W1^T] on TPU via Pallas.
-
-    Args:
-      p: (D, D) covariance.
-      v: (D, r) rank-update factors.
-      b: (r, r) small symmetric middle matrix (may be indefinite — the
-         measurement downdate can be folded in as a -S^-1 diagonal block).
-      w1: optional (D, m) whitened Kalman gain strip (downdate factors);
-          folded into the factor strip as [V W1] diag(B, -I) [V W1]^T.
-
-    Two schedules:
-      * D a multiple of 128 (padded states, filters.ekf.state.init_state):
-        a 1-D grid over row panels — each (tr, D) panel of P is read once,
-        hit with one (tr, rm) x (rm, D) MXU matmul against the resident
-        transposed factor strip, and written once.  HBM traffic =
-        read P + write P + one read of the strips (speed of light).
-      * otherwise: 2-D (t, t) tiling with cdiv boundary tiles (factor strips
-        re-read per tile row/column).
-    """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    # Pallas TPU lowering only; CPU (tests) uses the jnp reference unless
-    # explicitly interpreting.
-    if not interpret and jax.default_backend() not in ("tpu", "axon"):
-        return rank_update_downdate_reference(p, v, b, w1)
-
-    d = p.shape[0]
-    vb = jnp.matmul(v, b, precision=PRECISION)              # (D, r)
-    if w1 is not None:
-        vb = jnp.concatenate([vb, -w1], axis=1)
-        v = jnp.concatenate([v, w1], axis=1)
-    rm = _round_up(v.shape[1], 8)
-    if rm != v.shape[1]:
-        pad = rm - v.shape[1]
-        v = jnp.pad(v, ((0, 0), (0, pad)))
-        vb = jnp.pad(vb, ((0, 0), (0, pad)))
-
-    cost = pl.CostEstimate(
-        flops=2 * d * d * rm,
-        bytes_accessed=2 * d * d * 4 + 2 * d * rm * 4,
-        transcendentals=0,
-    )
-
-    # --- row-panel schedule for tile-aligned D ---
-    if d % 128 == 0:
-        budget = 12 * 2**20
-        tr = 0
-        for cand in (512, 256, 128):
-            if d % cand:
-                continue
-            need = (4 * cand * d + cand * rm + rm * d) * 4  # 2x2 row buffers
-            if need <= budget:
-                tr = cand
-                break
-        if tr:
-            def row_kernel(p_ref, vb_ref, vt_ref, out_ref):
-                out_ref[:, :] = p_ref[:, :] + jnp.dot(
-                    vb_ref[:, :], vt_ref[:, :],
-                    preferred_element_type=jnp.float32, precision=PRECISION,
-                )
-
-            return pl.pallas_call(
-                row_kernel,
-                out_shape=jax.ShapeDtypeStruct((d, d), p.dtype),
-                grid=(d // tr,),
-                in_specs=[
-                    pl.BlockSpec((tr, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                    pl.BlockSpec((tr, rm), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                    pl.BlockSpec((rm, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                ],
-                out_specs=pl.BlockSpec((tr, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                cost_estimate=cost,
-                interpret=interpret,
-            )(p, vb, v.T)
-
-    # --- 2-D tiling fallback ---
-    t = _pick_tile(d)
-    if t == 0:
-        # State dims 3 + 2K are odd: partial boundary tiles are safe for
-        # this kernel (garbage reads only land in out-of-range rows/columns,
-        # which stores drop), so use a cdiv grid — provided the *factor*
-        # minor dims are lane/sublane aligned, which we pad ourselves.
-        t = 256
-
-    def kernel(p_ref, vb_ref, vt_ref, out_ref):
-        out_ref[:, :] = p_ref[:, :] + jnp.dot(
-            vb_ref[:, :], vt_ref[:, :],
-            preferred_element_type=jnp.float32, precision=PRECISION,
-        )
-
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((d, d), p.dtype),
-        grid=(pl.cdiv(d, t), pl.cdiv(d, t)),
-        in_specs=[
-            pl.BlockSpec((t, t), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, rm), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rm, t), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((t, t), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-        cost_estimate=cost,
-        interpret=interpret,
-    )(p, vb, v.T)

@@ -5,45 +5,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from conan_slam_tpu.ops.pallas_update import (
-    rank_update_downdate,
-    rank_update_downdate_reference,
-)
-
-
-def test_rank_update_downdate_matches_reference():
-    rng = np.random.default_rng(0)
-    d, r, m = 256, 20, 64
-    p = rng.normal(size=(d, d)).astype(np.float32)
-    p = p @ p.T
-    v = rng.normal(size=(d, r)).astype(np.float32)
-    b = rng.normal(size=(r, r)).astype(np.float32)
-    b = 0.5 * (b + b.T)
-    w1 = rng.normal(size=(d, m)).astype(np.float32)
-    ref = rank_update_downdate_reference(
-        jnp.asarray(p), jnp.asarray(v), jnp.asarray(b), jnp.asarray(w1)
-    )
-    out = rank_update_downdate(
-        jnp.asarray(p), jnp.asarray(v), jnp.asarray(b), jnp.asarray(w1),
-        interpret=True,
-    )
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-3)
-
-
-def test_rank_update_no_downdate_strip():
-    rng = np.random.default_rng(3)
-    d, r = 256, 24
-    p = rng.normal(size=(d, d)).astype(np.float32)
-    p = p @ p.T
-    v = rng.normal(size=(d, r)).astype(np.float32)
-    b = rng.normal(size=(r, r)).astype(np.float32)
-    b = 0.5 * (b + b.T)
-    out = rank_update_downdate(jnp.asarray(p), jnp.asarray(v), jnp.asarray(b),
-                               interpret=True)
-    ref = p + v @ b @ v.T
-    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-3)
-
-
 def test_rank_update_t_row_strips():
     from conan_slam_tpu.ops.pallas_update import rank_update_t
 
@@ -142,78 +103,6 @@ def test_spd_inverse_guard_degrades_gracefully():
     s = jnp.asarray(np.full((8, 8), np.nan, np.float32))
     out = np.asarray(spd_inverse(s, interpret=True))
     np.testing.assert_array_equal(out, np.zeros((8, 8), np.float32))
-
-
-def test_rank_update_t2_two_strip_pairs():
-    from conan_slam_tpu.ops.pallas_update import (
-        rank_update_t2,
-        rank_update_t2_reference,
-    )
-
-    rng = np.random.default_rng(11)
-    d, r1, r2 = 256, 20, 100   # non-multiple-of-8 ranks exercise padding
-    p = rng.normal(size=(d, d)).astype(np.float32)
-    p = p @ p.T
-    vt1 = rng.normal(size=(r1, d)).astype(np.float32)
-    vbt1 = rng.normal(size=(r1, d)).astype(np.float32)
-    vt2 = rng.normal(size=(r2, d)).astype(np.float32)
-    vbt2 = rng.normal(size=(r2, d)).astype(np.float32)
-    out = rank_update_t2(
-        jnp.asarray(p), jnp.asarray(vt1), jnp.asarray(vbt1),
-        jnp.asarray(vt2), jnp.asarray(vbt2), interpret=True,
-    )
-    ref = rank_update_t2_reference(p, vt1, vbt1, vt2, vbt2)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-2)
-
-
-def test_frame_update_matches_two_dispatch_pipeline():
-    # The one-dispatch whole-frame kernel vs the chain + rank-update pair.
-    # d = 640 forces the 128-row panel schedule (grid of 5) so the scratch
-    # persistence and per-panel pht^T slicing are exercised.
-    from conan_slam_tpu.ops.frame_kernel import (
-        _measurement_chain_reference,
-        frame_update,
-    )
-    from conan_slam_tpu.ops.pallas_update import rank_update_t2_reference
-
-    rng = np.random.default_rng(3)
-    d, nz, nb = 640, 50, 20
-    mp = 128
-    a = rng.normal(size=(d, d)).astype(np.float32)
-    p = a @ a.T / d + np.eye(d, dtype=np.float32)
-    slots = rng.choice((d - 3) // 2, size=nz, replace=False).astype(np.int32)
-    rows = np.concatenate(
-        [np.arange(3), (3 + 2 * slots[:, None] + np.arange(2)).reshape(-1)]
-    ).astype(np.int32)
-    hc = np.zeros((mp, rows.size), np.float32)
-    hc[: 2 * nz] = rng.normal(size=(2 * nz, rows.size)).astype(np.float32) * 0.1
-    b = rng.normal(size=(nb, nb)).astype(np.float32) * 0.1
-    bmat = 0.5 * (b + b.T)
-    vtf = rng.normal(size=(nb, d)).astype(np.float32) * 0.02
-    rmat = np.eye(mp, dtype=np.float32) * 0.5 + np.eye(mp, dtype=np.float32)
-    v = np.zeros(mp, np.float32)
-    v[: 2 * nz] = rng.normal(size=2 * nz).astype(np.float32) * 0.1
-
-    out = frame_update(
-        jnp.asarray(p), jnp.asarray(rows), jnp.asarray(hc), jnp.asarray(bmat),
-        jnp.asarray(vtf), jnp.asarray(rmat), jnp.asarray(v), interpret=True,
-    )
-
-    rp = ((rows.size + 7) // 8) * 8
-    rows_p = np.full(rp, -1, np.int32)
-    rows_p[: rows.size] = rows
-    prows = np.zeros((rp, d), np.float32)
-    prows[: rows.size] = p[rows]
-    hc_p = np.pad(hc, ((0, 0), (0, rp - rows.size)))
-    chain = _measurement_chain_reference(
-        jnp.asarray(prows), jnp.asarray(rows_p), jnp.asarray(hc_p),
-        jnp.asarray(bmat), jnp.asarray(vtf), jnp.asarray(rmat),
-        jnp.asarray(v.reshape(1, mp)),
-    )
-    ref_p = rank_update_t2_reference(p, vtf, chain.bvt, chain.pht, chain.nsipht)
-    np.testing.assert_allclose(np.asarray(out.p), np.asarray(ref_p), rtol=1e-3, atol=1e-3)
-    np.testing.assert_allclose(np.asarray(out.dx), np.asarray(chain.dx), rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(float(out.nis), float(chain.nis), rtol=1e-4, atol=1e-6)
 
 
 def _obs_glue_inputs(state, obs, slots, mask, nb=12, seed=7):
@@ -382,21 +271,6 @@ def test_frame_factor_kernel_matches_fastframe():
         # Padding rows must be exactly zero.
         np.testing.assert_array_equal(np.asarray(vtf[nb:]), 0.0)
         np.testing.assert_array_equal(np.asarray(bm[nb:, :]), 0.0)
-
-
-def test_rank_update_downdate_non_tileable_falls_back():
-    rng = np.random.default_rng(1)
-    d, r, m = 67, 4, 8   # not a multiple of 128 -> jnp fallback path
-    p = rng.normal(size=(d, d)).astype(np.float32)
-    v = rng.normal(size=(d, r)).astype(np.float32)
-    b = np.eye(r, dtype=np.float32)
-    w1 = rng.normal(size=(d, m)).astype(np.float32)
-    out = rank_update_downdate(
-        jnp.asarray(p), jnp.asarray(v), jnp.asarray(b), jnp.asarray(w1),
-        interpret=True,
-    )
-    ref = p + v @ b @ v.T - w1 @ w1.T
-    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-3)
 
 
 def _frame_step_problem(seed=31, s=6):
