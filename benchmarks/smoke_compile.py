@@ -182,6 +182,93 @@ def stage_ate() -> None:
     log("stage ate: PASS")
 
 
+def stage_gated() -> None:
+    """The gated-association product program (bench_gated config: 500-lm
+    world, empty map, gating kernel + factor kernel + megakernel) must lower
+    and run — a different kernel mix from the headline shape."""
+    import jax
+    import jax.numpy as jnp
+
+    from conan_slam_tpu.config import SlamConfig
+    from conan_slam_tpu.runner.loop import run_ekf_slam_precomputed
+    from conan_slam_tpu.sim.world import default_world, random_world
+
+    world = random_world(jax.random.PRNGKey(7), 500)._replace(
+        waypoints=default_world().waypoints
+    )
+    cfg = SlamConfig(max_landmarks=500, max_obs=64,
+                     switch_association_known=False)
+    t0 = time.perf_counter()
+    state, outs = run_ekf_slam_precomputed(
+        world, cfg, jax.random.PRNGKey(0), n_steps=60
+    )
+    np.asarray(outs.x_est)
+    log(f"gated compile+run (60 steps): {time.perf_counter() - t0:.1f}s")
+    assert np.all(np.isfinite(np.asarray(state.x)))
+    assert int(state.n_active) > 0, "gated program must map landmarks"
+    log("stage gated: PASS")
+
+
+def stage_longloop() -> None:
+    """The 5k-landmark program (D = 10,240): asserts the megakernel
+    predicates correctly refuse this shape (fallback path, not a VMEM OOM)
+    and that the fallback program lowers and runs."""
+    import jax
+    import jax.numpy as jnp
+
+    from conan_slam_tpu.config import SlamConfig
+    from conan_slam_tpu.ops.frame_kernel import can_fuse_frame, can_fuse_frame_step
+    from conan_slam_tpu.runner.loop import run_ekf_slam_precomputed
+    from conan_slam_tpu.sim.world import default_world, random_world
+
+    d = 3 + 2 * 5000
+    d_pad = ((d + 255) // 256) * 256
+    assert not can_fuse_frame_step(d_pad, 64), "10k shape must take fallback"
+    assert not can_fuse_frame(d_pad, 64, 24), "10k shape must take fallback"
+    world = random_world(jax.random.PRNGKey(11), 5000)._replace(
+        waypoints=default_world().waypoints
+    )
+    cfg = SlamConfig(max_landmarks=5000, max_obs=64)
+    t0 = time.perf_counter()
+    state, outs = run_ekf_slam_precomputed(
+        world, cfg, jax.random.PRNGKey(0), n_steps=24
+    )
+    np.asarray(outs.x_est)
+    log(f"longloop compile+run (24 steps, D={d_pad}): "
+        f"{time.perf_counter() - t0:.1f}s")
+    assert np.all(np.isfinite(np.asarray(state.x)))
+    log("stage longloop: PASS")
+
+
+def stage_pf() -> None:
+    """The FastSLAM product program at the reference config (100 particles)."""
+    import jax
+
+    from conan_slam_tpu.config import SlamConfig
+    from conan_slam_tpu.runner.loop import run_pf_slam
+    from conan_slam_tpu.sim.world import default_world
+
+    t0 = time.perf_counter()
+    carry, outs = run_pf_slam(
+        default_world(), SlamConfig(num_particles=100), jax.random.PRNGKey(0),
+        n_steps=24,
+    )
+    np.asarray(outs.x_est)
+    log(f"pf compile+run (24 steps): {time.perf_counter() - t0:.1f}s")
+    assert np.all(np.isfinite(np.asarray(outs.x_est)))
+    log("stage pf: PASS")
+
+
+_STAGES = {
+    "kernel": stage_kernel,
+    "program": stage_program,
+    "ate": stage_ate,
+    "gated": stage_gated,
+    "longloop": stage_longloop,
+    "pf": stage_pf,
+}
+
+
 def main():
     import jax
 
@@ -190,15 +277,13 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
-    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    which = sys.argv[1:] or ["all"]
     log(f"devices: {jax.devices()}")
-    if which in ("kernel", "all"):
-        stage_kernel()
-    if which in ("program", "all"):
-        stage_program()
-    if which in ("ate", "all"):
-        stage_ate()
-    log("smoke_compile: ALL PASS")
+    names = list(_STAGES) if which == ["all"] else which
+    for name in names:
+        _STAGES[name]()
+    log(f"smoke_compile: {'ALL ' if which == ['all'] else ''}PASS "
+        f"({', '.join(names)})")
 
 
 if __name__ == "__main__":
