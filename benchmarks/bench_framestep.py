@@ -39,7 +39,7 @@ def main(modes):
     except Exception:
         pass
 
-    from bench import build_world
+    from bench import build_world, WORLD_EXTENT
 
     from conan_slam_tpu.config import SlamConfig
     from conan_slam_tpu.core.linalg import PRECISION, safe_cholesky, sym
@@ -53,6 +53,13 @@ def main(modes):
 
     print("devices:", jax.devices(), file=sys.stderr)
     lm, wp, world = build_world()
+    if N_LANDMARKS != lm.shape[0]:
+        # Non-default shapes (e.g. the longloop D) get a random world of the
+        # requested size on the same waypoint tour.
+        rngw = np.random.default_rng(SEED)
+        lm = rngw.uniform(-WORLD_EXTENT, WORLD_EXTENT,
+                          size=(N_LANDMARKS, 2)).astype(np.float32)
+        world = world._replace(landmarks=jnp.asarray(lm))
     cfg = SlamConfig(max_landmarks=N_LANDMARKS, max_obs=64)
     noise = make_noise(cfg, "ekf")
     state0 = ekf_mod.init_state_with_map(world.landmarks, sigma0=SIGMA0)

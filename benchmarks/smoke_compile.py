@@ -210,21 +210,30 @@ def stage_gated() -> None:
 
 
 def stage_longloop() -> None:
-    """The 5k-landmark program (D = 10,240): asserts the megakernel
-    predicates correctly refuse this shape (fallback path, not a VMEM OOM)
-    and that the fallback program lowers and runs."""
+    """The 5k-landmark program (D = 10,240): asserts the resident megakernel
+    schedules correctly refuse this shape while the big-D streaming pair
+    engages, and that the program lowers and runs."""
     import jax
     import jax.numpy as jnp
 
+    from conan_slam_tpu.ops.frame_kernel import (
+        _pick_bigchain_tile,
+        _pick_framestep_tile,
+        _round_up,
+        can_fuse_frame,
+        can_fuse_frame_step,
+    )
     from conan_slam_tpu.config import SlamConfig
-    from conan_slam_tpu.ops.frame_kernel import can_fuse_frame, can_fuse_frame_step
     from conan_slam_tpu.runner.loop import run_ekf_slam_precomputed
     from conan_slam_tpu.sim.world import default_world, random_world
 
     d = 3 + 2 * 5000
     d_pad = ((d + 255) // 256) * 256
-    assert not can_fuse_frame_step(d_pad, 64), "10k shape must take fallback"
-    assert not can_fuse_frame(d_pad, 64, 24), "10k shape must take fallback"
+    mp, rp = _round_up(128, 128), _round_up(131, 8)
+    assert _pick_framestep_tile(d_pad, mp, rp) == 0, "resident must refuse"
+    assert _pick_bigchain_tile(d_pad, mp, rp) > 0, "streaming must engage"
+    assert can_fuse_frame_step(d_pad, 64)
+    assert not can_fuse_frame(d_pad, 64, 24), "gated megakernel must refuse"
     world = random_world(jax.random.PRNGKey(11), 5000)._replace(
         waypoints=default_world().waypoints
     )

@@ -736,6 +736,289 @@ def _framestep_kernel(subs_ref, qc_ref, zin_ref, rsc_ref, nblk_ref,
         out_ref[0:8, :] = out_ref[0:8, :] + fr_scr[8:16, :]
 
 
+def _bigchain_kernel(subs_ref, qc_ref, zin_ref, rsc_ref, nblk_ref,
+                     x0_ref, x0rows_ref, prc_ref, prows_ref,
+                     pht_ref, xn_ref, pt_ref, nis_ref, si_ref, k4_ref,
+                     hc_scr, hx_scr, siv_scr, ms_scr, s_scr,
+                     *, tc, s_steps, wheel_base, dt, sigma_heading,
+                     use_heading):
+    """Streaming chain kernel for states too large for the resident
+    whole-frame schedule (``frame_step`` big-D path).
+
+    Grid step 0 runs everything that fits in small blocks — the coefficient
+    recursion, K4, the observe/operator assembly (hc), S via the pre-gathered
+    prc, the sweep inverse and the gains — into scratch/outputs; every grid
+    step then produces one (MP, tc) column panel of pht = Hc P'[rows] and the
+    matching panel of the updated mean, touching only a (RP, tc) panel of the
+    gathered rows.  The O(D^2) covariance pass happens OUTSIDE, in
+    ops.pallas_update.rank_update_t, against the factor strip
+    G = [pht; p2; e0; e1; e2] with middle matrix blockdiag(-S^-1, K4) —
+    algebraically identical to the resident kernel's panel update.
+    """
+    from conan_slam_tpu.ops.factor_kernel import coeff_recursion
+
+    f32 = jnp.float32
+    j = pl.program_id(0)
+    mp = s_scr.shape[0]
+    rp = prc_ref.shape[0]
+    r_head = sigma_heading * sigma_heading
+
+    @pl.when(j == 0)
+    def _chain():
+        lanerp = jax.lax.broadcasted_iota(jnp.int32, (1, rp), 1)
+        # p2 restricted to the gathered lanes: the recursion only reads
+        # components 0:3 (p2h) and 2 (p22), and rows[0:3] == [0, 1, 2].
+        p2r = prc_ref[2:3, :]                              # (1, RP)
+        pose, pose_list, corr0, m_c, f_cols, w_cols = coeff_recursion(
+            subs_ref, qc_ref, p2r, x0_ref[:, 0:3], s_steps=s_steps,
+            wheel_base=wheel_base, dt=dt, sigma_heading=sigma_heading,
+            use_heading=use_heading,
+        )
+        for k in range(s_steps):
+            pt_ref[k : k + 1, :] = pose_list[k]
+
+        p22 = p2r[:, 2:3][0, 0]
+
+        def outer4(a, b):
+            return jnp.transpose(a) * b
+
+        lane4 = jax.lax.broadcasted_iota(jnp.int32, (1, 4), 1)
+        ep2 = jnp.where(lane4 == 0, 1.0, 0.0).astype(f32)
+        k4 = p22 * outer4(m_c, m_c) + outer4(m_c, ep2) + outer4(ep2, m_c)
+        for c in f_cols:
+            k4 = k4 + outer4(c, c)
+        for c in w_cols:
+            k4 = k4 + r_head * outer4(c, c)
+        i8 = jax.lax.broadcasted_iota(jnp.int32, (8, 8), 0)
+        j8 = jax.lax.broadcasted_iota(jnp.int32, (8, 8), 1)
+        k4p = jnp.zeros((8, 8), f32)
+        for r in range(4):
+            for c in range(4):
+                k4p = k4p + jnp.where(
+                    jnp.logical_and(i8 == r, j8 == c), k4[r, c], 0.0
+                )
+        k4_ref[:, :] = k4p
+
+        alpha = k4[0, 0]
+        g = [k4[1, 0], k4[2, 0], k4[3, 0]]
+        m3 = [[k4[r + 1, c + 1] for c in range(3)] for r in range(3)]
+
+        xrows = x0rows_ref[:, :] + p2r * corr0
+        xrows = jnp.where(
+            lanerp == 0, pose[:, 0:1],
+            jnp.where(lanerp == 1, pose[:, 1:2],
+                      jnp.where(lanerp == 2, pose[:, 2:3], xrows)),
+        )
+        hc, rmat, v2 = _observe_core(xrows, zin_ref[:, :], rsc_ref, mp, rp)
+        hc_scr[:, :] = hc
+
+        wr_row = alpha * p2r
+        m8r = jnp.zeros((8, rp), f32)
+        sub8r = jax.lax.broadcasted_iota(jnp.int32, (8, rp), 0)
+        lane8r = jax.lax.broadcasted_iota(jnp.int32, (8, rp), 1)
+        for r in range(3):
+            wr_row = wr_row + jnp.where(lanerp == r, g[r], 0.0)
+            for c in range(3):
+                m8r = m8r + jnp.where(
+                    jnp.logical_and(sub8r == r, lane8r == c), m3[r][c], 0.0
+                )
+        subrp1 = jax.lax.broadcasted_iota(jnp.int32, (rp, 1), 0)
+        gsub = jnp.zeros((rp, 1), f32)
+        for r in range(3):
+            gsub = gsub + jnp.where(subrp1 == r, g[r], 0.0)
+        s8 = jnp.logical_and(
+            jax.lax.broadcasted_iota(jnp.int32, (rp, 8), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (rp, 8), 1),
+            jax.lax.broadcasted_iota(jnp.int32, (rp, 8), 1) < 3,
+        ).astype(f32)
+        hp2 = jax.lax.dot_general(
+            hc, jnp.transpose(p2r),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=PRECISION,
+        )
+        hg = jax.lax.dot_general(
+            hc, gsub, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=PRECISION,
+        )
+        hcs = jax.lax.dot_general(
+            hc, s8, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=PRECISION,
+        )
+        lane16 = jax.lax.broadcasted_iota(jnp.int32, (mp, 16), 1)
+        hx = jnp.where(lane16 == 0, hp2, 0.0) + jnp.where(lane16 == 1, hg, 0.0)
+        for c in range(8):
+            hx = hx + jnp.where(lane16 == 8 + c, hcs[:, c : c + 1], 0.0)
+        hx_scr[:, :] = hx
+
+        psub = (
+            jax.lax.dot_general(
+                hc, prc_ref[:, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=PRECISION,
+            )
+            + hp2 * wr_row
+            + hg * p2r
+            + jax.lax.dot_general(
+                hcs, m8r, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=PRECISION,
+            )
+        )
+        s = jax.lax.dot_general(
+            psub, hc, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32, precision=PRECISION,
+        ) + rmat
+        si = _sweep_si(s, s_scr, nblk=nblk_ref[0])
+        si_ref[:, :] = si
+        siv = jax.lax.dot_general(
+            v2, si, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=PRECISION,
+        )
+        siv_scr[:, :] = siv
+        nis_ref[0, 0] = jnp.sum(siv * v2)
+
+        # Scalars the per-panel stage needs (SMEM scratch): pose (3),
+        # corr0, alpha, g, m3.
+        row0 = [pose[0, 0], pose[0, 1], pose[0, 2], corr0[0, 0], alpha,
+                g[0], g[1], g[2]]
+        for c, val in enumerate(row0):
+            ms_scr[0, c] = val
+        for r in range(3):
+            for c in range(3):
+                ms_scr[1 + r, c] = m3[r][c]
+
+    # --- every grid step: one (MP, tc) column panel of pht and xn ---
+    lane_g = j * tc + jax.lax.broadcasted_iota(jnp.int32, (1, tc), 1)
+    p2j = prows_ref[2:3, :]                                # (1, tc)
+    alpha = ms_scr[0, 4]
+    corr0 = ms_scr[0, 3]
+    g0, g1, g2 = ms_scr[0, 5], ms_scr[0, 6], ms_scr[0, 7]
+    wrow_j = alpha * p2j
+    m8_j = jnp.zeros((8, tc), jnp.float32)
+    sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, tc), 0)
+    lane8g = j * tc + jax.lax.broadcasted_iota(jnp.int32, (8, tc), 1)
+    for r, gr in enumerate((g0, g1, g2)):
+        wrow_j = wrow_j + jnp.where(lane_g == r, gr, 0.0)
+        for c in range(3):
+            m8_j = m8_j + jnp.where(
+                jnp.logical_and(sub8 == r, lane8g == c), ms_scr[1 + r, c], 0.0
+            )
+    hp2 = hx_scr[:, 0:1]
+    hg = hx_scr[:, 1:2]
+    hcs = hx_scr[:, 8:16]
+    pht_j = (
+        jax.lax.dot_general(
+            hc_scr[:, :], prows_ref[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=PRECISION,
+        )
+        + hp2 * wrow_j
+        + hg * p2j
+        + jax.lax.dot_general(
+            hcs, m8_j, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=PRECISION,
+        )
+    )
+    pht_ref[:, :] = pht_j
+    base = x0_ref[:, :] + jnp.where(lane_g >= 3, p2j * corr0, 0.0)
+    base = jnp.where(
+        lane_g == 0, ms_scr[0, 0],
+        jnp.where(lane_g == 1, ms_scr[0, 1],
+                  jnp.where(lane_g == 2, ms_scr[0, 2], base)),
+    )
+    xn = base + jax.lax.dot_general(
+        siv_scr[:, :], pht_j,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=PRECISION,
+    )
+    xn_ref[:, :] = jnp.where(lane_g == 2, _wrap(xn), xn)
+
+
+def _pick_bigchain_tile(d: int, mp: int, rp: int) -> int:
+    """Column-panel size for the streaming chain kernel (0 = unavailable).
+    Resident pieces are tiny (hc, prc, S scratch, scalar rows); panels are
+    (rp, tc) in and (mp, tc) out, double-buffered."""
+    if d % 128:
+        return 0
+    budget = _FK_VMEM_BUDGET
+    fixed = (3 * mp * mp + 2 * mp * rp + rp * rp + mp * 16 + 200) * 4
+    for cand in (1024, 512, 256, 128):
+        if d % cand:
+            continue
+        if fixed + cand * (2 * rp + 2 * mp + 8) * 4 <= budget:
+            return cand
+    return 0
+
+
+def _frame_step_big(p, x, rows_full, subs, qc, zin, rsc, nblk, x0rows,
+                    prows, prc, tc, mp, rp, s_steps, wheel_base, dt,
+                    sigma_heading, use_heading, interpret):
+    """Big-D two-dispatch frame step: streaming chain kernel + the generic
+    2-D-tiled rank update (see ``_bigchain_kernel``)."""
+    from conan_slam_tpu.ops.pallas_update import rank_update_t
+
+    d = p.shape[0]
+    f32 = p.dtype
+    x_row = x.reshape(1, d)
+    kernel = functools.partial(
+        _bigchain_kernel, tc=tc, s_steps=s_steps,
+        wheel_base=float(wheel_base), dt=float(dt),
+        sigma_heading=float(sigma_heading), use_heading=use_heading,
+    )
+    bcast = lambda j: (0, 0)  # noqa: E731
+    pht, xn, pt, nis, si, k4 = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((mp, d), f32),
+            jax.ShapeDtypeStruct((1, d), f32),
+            jax.ShapeDtypeStruct((s_steps, 3), f32),
+            jax.ShapeDtypeStruct((1, 1), f32),
+            jax.ShapeDtypeStruct((mp, mp), f32),
+            jax.ShapeDtypeStruct((8, 8), f32),
+        ),
+        grid=(d // tc,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # subs
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # qc
+            pl.BlockSpec((8, mp // 2), bcast, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # rsc
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # nblk
+            pl.BlockSpec((1, tc), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rp), bcast, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp, rp), bcast, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp, tc), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((mp, tc), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tc), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_steps, 3), bcast, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), bcast, memory_space=pltpu.SMEM),
+            pl.BlockSpec((mp, mp), bcast, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 8), bcast, memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((mp, rp), f32),           # hc
+            pltpu.VMEM((mp, 16), f32),           # hp2 | hg | hcs
+            pltpu.VMEM((1, mp), f32),            # siv
+            pltpu.SMEM((8, 16), f32),            # pose/corr0/alpha/g/m3
+            pltpu.VMEM((mp, mp), f32),           # sweep scratch
+        ],
+        interpret=interpret,
+    )(subs, qc, zin, rsc, nblk, x_row, x0rows, prc, prows)
+
+    # G = [pht; p2; e0; e1; e2] (pad to MP + 8), M = blockdiag(-S^-1, K4):
+    # G M G^T = U K4 U^T - pht^T S^-1 pht, the exact frame update.
+    p2row = p[2:3, :]
+    e3 = jnp.eye(3, d, dtype=f32)
+    gmat = jnp.concatenate(
+        [pht, p2row, e3, jnp.zeros((4, d), f32)], axis=0
+    )                                                       # (MP + 8, D)
+    mmid = jnp.zeros((mp + 8, mp + 8), f32)
+    mmid = mmid.at[:mp, :mp].set(-si)
+    mmid = mmid.at[mp : mp + 4, mp : mp + 4].set(k4[:4, :4])
+    p_out = rank_update_t(p, gmat, mmid, interpret=interpret)
+    return FrameStep(p=p_out, x=xn[0], pose_trace=pt, nis=nis[0, 0])
+
+
 def _pick_framestep_tile(d: int, mp: int, rp: int) -> int:
     """Row-panel size for the one-dispatch frame-step schedule, or 0 if no
     tile fits the VMEM budget.
@@ -764,16 +1047,21 @@ def _pick_framestep_tile(d: int, mp: int, rp: int) -> int:
 
 
 def can_fuse_frame_step(d: int, nz: int) -> bool:
-    """Whether ``frame_step`` runs its one-dispatch TPU schedule at these
-    shapes (shared predicate for filters.ekf.update.fused_frame_step)."""
+    """Whether ``frame_step`` has a TPU kernel schedule at these shapes —
+    the one-dispatch resident schedule or the big-D streaming pair (shared
+    predicate for filters.ekf.update.fused_frame_step)."""
     mp = _round_up(2 * nz, 128)
     rp = _round_up(3 + 2 * nz, 8)
-    return _pick_framestep_tile(d, mp, rp) > 0
+    return (
+        _pick_framestep_tile(d, mp, rp) > 0
+        or _pick_bigchain_tile(d, mp, rp) > 0
+    )
 
 
 def frame_step(p, x, rows, vns, swans, phis, actives, q_cov,
                zr, zb, mask, r_cov, wheel_base, dt, sigma_heading,
-               use_heading: bool, *, interpret: bool = False) -> FrameStep:
+               use_heading: bool, *, interpret: bool = False,
+               _force_schedule: str | None = None) -> FrameStep:
     """The WHOLE observation frame — S predict+heading sub-steps (as the
     fastframe coefficient recursion), range-bearing observe, measurement
     chain and the P rank update — in ONE Pallas dispatch.
@@ -827,18 +1115,37 @@ def frame_step(p, x, rows, vns, swans, phis, actives, q_cov,
     on_tpu = jax.default_backend() in ("tpu", "axon")
     use_kernel = on_tpu or interpret
     tr = _pick_framestep_tile(d, mp, rp) if use_kernel else 0
-    if not (use_kernel and tr):
+    if _force_schedule == "big":        # test hook
+        tr = 0
+    tc = _pick_bigchain_tile(d, mp, rp) if (use_kernel and not tr) else 0
+    if not (use_kernel and (tr or tc)):
         return _frame_step_reference(
             p, x, rows, vns, swans, phis, actives, q_cov, zin, rsc, mp, rp,
             wheel_base, dt, sigma_heading, use_heading,
         )
 
     nr = rows.shape[0]
-    prows_u = p[rows]                                       # (R, D)
-    prows = jnp.pad(prows_u, ((0, rp - nr), (0, 0)))
-    prc = jnp.pad(prows_u[:, rows], ((0, rp - nr), (0, rp - nr)))
-    x0rows = jnp.pad(x[rows], (0, rp - nr)).reshape(1, rp)
+    # Index-padded gathers (pad slots re-read row 0) instead of gather+pad
+    # copies: every pad row/lane of prows/prc/x0rows is only ever multiplied
+    # by a zero column of the compact operator Hc (columns beyond 3 + 2 NZ
+    # are identically zero), so its content is irrelevant — one fused gather
+    # each, no materialised pad.
+    rows_full = jnp.concatenate(
+        [rows, jnp.zeros((rp - nr,), rows.dtype)]
+    )
+    prows = p[rows_full]                                    # (RP, D)
+    prc = prows[:, rows_full]                               # (RP, RP)
+    x0rows = x[rows_full].reshape(1, rp)
     x_row = x.reshape(1, d)
+
+    if not tr:
+        # State too large for the resident schedule: streaming chain kernel
+        # + the generic 2-D-tiled rank update.
+        return _frame_step_big(
+            p, x, rows_full, subs, qc, zin, rsc, nblk, x0rows, prows, prc,
+            tc, mp, rp, s_steps, wheel_base, dt, sigma_heading, use_heading,
+            interpret,
+        )
 
     cost = pl.CostEstimate(
         flops=2 * d * d * mp + 2 * mp * d * rp,

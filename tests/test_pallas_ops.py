@@ -450,3 +450,35 @@ def test_gating_kernel_matches_jnp_association():
             np.asarray(got.slots)[km], np.asarray(ref.slots)[km]
         )
         assert np.asarray(got.new_mask)[-1]          # the far measurement
+
+
+def test_frame_step_big_schedule_matches_resident():
+    # The big-D streaming pair (chain kernel + generic 2-D rank update) must
+    # agree with the resident one-dispatch schedule and the jnp reference.
+    from conan_slam_tpu.ops.frame_kernel import frame_step
+
+    for use_heading, seed in ((True, 61), (False, 67)):
+        state, obs, slots, mask, r_cov, fargs = _frame_step_problem(seed=seed)
+        vns, swans, phis, active, q = fargs
+        safe = np.clip(np.asarray(slots), 0, state.capacity - 1)
+        rows = np.concatenate(
+            [np.arange(3), (3 + 2 * safe[:, None] + np.arange(2)).reshape(-1)]
+        ).astype(np.int32)
+        args = (state.p, state.x, jnp.asarray(rows), vns, swans, phis, active,
+                q, obs.z[:, 0], obs.z[:, 1], mask, r_cov, 73.0, 0.01,
+                0.01 * np.pi / 180, use_heading)
+        ref = frame_step(*args)                       # jnp reference (CPU)
+        big = frame_step(*args, interpret=True, _force_schedule="big")
+        np.testing.assert_allclose(
+            np.asarray(big.pose_trace), np.asarray(ref.pose_trace),
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(big.x), np.asarray(ref.x), rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(big.p), np.asarray(ref.p), rtol=1e-3, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            float(big.nis), float(ref.nis), rtol=1e-3, atol=1e-5
+        )
