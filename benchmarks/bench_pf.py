@@ -22,6 +22,12 @@ def log(*a):
 def main():
     import jax
 
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_bench_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from conan_slam_tpu.config import SlamConfig
     from conan_slam_tpu.runner.loop import run_pf_slam
     from conan_slam_tpu.runner import metrics
