@@ -288,3 +288,38 @@ def test_init_state_with_map_tracks_immediately():
     p = np.asarray(state.p)
     np.testing.assert_allclose(p[:3, :3], 0.0)
     np.testing.assert_allclose(np.diag(p)[3:15], 0.25, atol=1e-6)
+
+
+def test_nis_chi2_consistency():
+    """Filter-consistency telemetry: per-measurement NIS must be chi^2_2-
+    consistent over the canonical run (SURVEY.md section 5 observability).
+
+    With the filter running at the TRUE noise covariances the normalised
+    innovation squared per 2-D measurement has E[NIS] = 2; with the
+    reference's default 8x R inflation (slam.h: QE/RE switches) innovations
+    are whitened by an 8x-too-large S, scaling E[NIS] to ~2/8.  Both bounds
+    together catch divergence (NIS >> dof), covariance collapse (NIS -> 0),
+    and a wrong inflation wiring — none of which per-frame algebra tests see.
+    """
+    from conan_slam_tpu.runner.loop import run_ekf_slam_precomputed
+
+    world = default_world()
+
+    _, outs = run_ekf_slam_precomputed(
+        world, SlamConfig(switch_inflate_noise=False), jax.random.PRNGKey(3),
+        n_steps=2400,
+    )
+    nis = np.asarray(outs.consistency)
+    nis = nis[nis != 0.0]
+    assert nis.size > 300
+    assert np.all(np.isfinite(nis))
+    # Frame-mean NIS over ~40 measurements concentrates hard around 2.
+    assert 1.6 < nis.mean() < 2.5, nis.mean()
+    assert nis.max() < 15.0, nis.max()
+
+    _, outs_infl = run_ekf_slam_precomputed(
+        world, SlamConfig(), jax.random.PRNGKey(3), n_steps=2400,
+    )
+    nis_i = np.asarray(outs_infl.consistency)
+    nis_i = nis_i[nis_i != 0.0]
+    assert 0.1 < nis_i.mean() < 0.6, nis_i.mean()
