@@ -34,9 +34,13 @@ def observation_step(
     batch: bool,
     gate_reject: float,
     gate_augment: float,
-) -> EKFState:
+    return_nis: bool = False,
+):
     """Associate -> update -> augment, mirroring the driver's observation
-    branch (reference test/main.cpp:183-197)."""
+    branch (reference test/main.cpp:183-197).  With ``return_nis`` also
+    returns the frame's normalised innovation squared per associated
+    measurement (the chi^2_2 consistency statistic; zero when nothing
+    associated)."""
     if association_known:
         assoc = associate_known(state, obs)
     else:
@@ -47,10 +51,11 @@ def observation_step(
     import jax
     import jax.numpy as jnp
 
-    state = jax.lax.cond(
+    state, nis = jax.lax.cond(
         jnp.any(assoc.known_mask),
-        lambda s: update(s, obs, assoc.slots, assoc.known_mask, r_cov, batch),
-        lambda s: s,
+        lambda s: update(s, obs, assoc.slots, assoc.known_mask, r_cov, batch,
+                         return_nis=True),
+        lambda s: (s, jnp.zeros((), s.x.dtype)),
         state,
     )
     state = jax.lax.cond(
@@ -59,6 +64,9 @@ def observation_step(
         lambda s: s,
         state,
     )
+    if return_nis:
+        n_meas = jnp.maximum(jnp.sum(assoc.known_mask.astype(nis.dtype)), 1.0)
+        return state, nis / n_meas
     return state
 
 

@@ -22,15 +22,21 @@ from conan_slam_tpu.models import sensor
 from conan_slam_tpu.ops.cholesky_update import cholesky_update
 
 
-def batch_update(state: EKFState, obs: CompactObs, slots, mask, r_cov) -> EKFState:
+def batch_update(state: EKFState, obs: CompactObs, slots, mask, r_cov,
+                 *, return_nis: bool = False):
     """Joint update over all associated measurements (reference EKF.cpp:93-129)."""
     v, h, rr = build_batch_operator(state, obs, slots, mask, r_cov)
-    x, p = cholesky_update(state.x, state.p, v, rr, h)
+    out = cholesky_update(state.x, state.p, v, rr, h, return_nis=return_nis)
+    x, p = out[:2]
     x = x.at[2].set(wrap_angle(x[2]))
-    return state._replace(x=x, p=p)
+    new_state = state._replace(x=x, p=p)
+    if return_nis:
+        return new_state, out[2]
+    return new_state
 
 
-def sequential_update(state: EKFState, obs: CompactObs, slots, mask, r_cov) -> EKFState:
+def sequential_update(state: EKFState, obs: CompactObs, slots, mask, r_cov,
+                      *, return_nis: bool = False):
     """Per-measurement updates in buffer order (reference EKF.cpp:457-479)."""
     d = state.x.shape[0]
     cap = state.capacity
@@ -47,21 +53,29 @@ def sequential_update(state: EKFState, obs: CompactObs, slots, mask, r_cov) -> E
         h = jax.lax.dynamic_update_slice(h, hf, (0, 3 + 2 * slot_i))
         h = jnp.where(m_i, h, 0.0)
         r = jnp.where(m_i, r_cov, jnp.eye(2, dtype=p.dtype))
-        x, p = cholesky_update(x, p, v, r, h)
-        return (x, p), None
+        x, p, nis_i = cholesky_update(x, p, v, r, h, return_nis=True)
+        return (x, p), nis_i
 
     safe_slots = jnp.clip(slots, 0, cap - 1)
-    (x, p), _ = jax.lax.scan(body, (state.x, state.p), (obs.z, safe_slots, mask))
+    (x, p), nis_seq = jax.lax.scan(
+        body, (state.x, state.p), (obs.z, safe_slots, mask)
+    )
     x = x.at[2].set(wrap_angle(x[2]))
-    return state._replace(x=x, p=p)
+    new_state = state._replace(x=x, p=p)
+    if return_nis:
+        return new_state, jnp.sum(nis_seq)
+    return new_state
 
 
-def update(state: EKFState, obs: CompactObs, slots, mask, r_cov, batch: bool) -> EKFState:
+def update(state: EKFState, obs: CompactObs, slots, mask, r_cov, batch: bool,
+           *, return_nis: bool = False):
     """Dispatch on the batch switch (reference EKF.cpp:481-496); ``batch`` is
     static config, so only one path is compiled."""
     if batch:
-        return batch_update(state, obs, slots, mask, r_cov)
-    return sequential_update(state, obs, slots, mask, r_cov)
+        return batch_update(state, obs, slots, mask, r_cov,
+                            return_nis=return_nis)
+    return sequential_update(state, obs, slots, mask, r_cov,
+                             return_nis=return_nis)
 
 
 def fused_frame_step(

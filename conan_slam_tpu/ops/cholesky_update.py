@@ -26,7 +26,8 @@ import jax.numpy as jnp
 from conan_slam_tpu.core.linalg import PRECISION, safe_cholesky, sym
 
 
-def cholesky_update(x, p, v, r, h, *, jitter: float = 0.0):
+def cholesky_update(x, p, v, r, h, *, jitter: float = 0.0,
+                    return_nis: bool = False):
     """One Kalman update in Cholesky form.
 
     Args:
@@ -36,8 +37,11 @@ def cholesky_update(x, p, v, r, h, *, jitter: float = 0.0):
       r: (m, m) measurement noise (identity blocks for masked rows).
       h: (m, D) stacked observation Jacobian (zero rows for masked rows).
 
-    Returns (x', p').  Masked rows contribute exactly nothing: their H rows
-    are zero, so the corresponding W1 columns are zero and v is zero.
+    Returns (x', p'), or (x', p', nis) with ``return_nis`` where
+    nis = v^T S^-1 v = ||L^-1 v||^2 (the stacked normalised innovation
+    squared; masked rows contribute zero).  Masked rows contribute exactly
+    nothing to the update: their H rows are zero, so the corresponding W1
+    columns are zero and v is zero.
     """
     pht = jnp.matmul(p, h.T, precision=PRECISION)
     s = sym(jnp.matmul(h, pht, precision=PRECISION) + r)
@@ -51,6 +55,8 @@ def cholesky_update(x, p, v, r, h, *, jitter: float = 0.0):
     lv = linv @ v
     x_new = x + w1t.T @ lv
     p_new = sym(p - jnp.matmul(w1t.T, w1t, precision=PRECISION))
+    if return_nis:
+        return x_new, p_new, jnp.dot(lv, lv)
     return x_new, p_new
 
 

@@ -123,9 +123,12 @@ def ekf_sim_step(carry: EKFSimCarry, _, *, cfg: SlamConfig, world: World, noise:
             batch=cfg.switch_batch_update,
             gate_reject=cfg.gate_reject,
             gate_augment=cfg.gate_augment,
+            return_nis=True,
         )
 
-    state = jax.lax.cond(do_obs, obs_branch, lambda s: s, state)
+    state, frame_nis = jax.lax.cond(
+        do_obs, obs_branch, lambda s: (s, jnp.float32(0.0)), state
+    )
 
     # Freeze filter state once the course is complete.
     state = jax.tree_util.tree_map(
@@ -134,7 +137,7 @@ def ekf_sim_step(carry: EKFSimCarry, _, *, cfg: SlamConfig, world: World, noise:
 
     out = SimOutputs(
         x_true=x_true, x_est=state.x[:3], done=st.done, n_active=state.n_active,
-        consistency=jnp.float32(0.0),
+        consistency=frame_nis,
     )
     return EKFSimCarry(steer=st, x_true=x_true, state=state, step_in_frame=step_in_frame, key=key), out
 
@@ -464,7 +467,7 @@ def ekf_frame_step(carry: EKFSimCarry, _, *, cfg: SlamConfig, world: World, nois
             sub_outs.append(
                 SimOutputs(
                     x_true=x_true, x_est=state.x[:3], done=steer_state.done,
-                    n_active=state.n_active,
+                    n_active=state.n_active, consistency=jnp.float32(0.0),
                 )
             )
 
@@ -522,10 +525,12 @@ def ekf_frame_step(carry: EKFSimCarry, _, *, cfg: SlamConfig, world: World, nois
                 batch=cfg.switch_batch_update,
                 gate_reject=cfg.gate_reject,
                 gate_augment=cfg.gate_augment,
+                return_nis=True,
             )
 
-        state = jax.lax.cond(
-            jnp.logical_not(steer_state.done), obs_branch, lambda s: s, state
+        state, frame_nis = jax.lax.cond(
+            jnp.logical_not(steer_state.done), obs_branch,
+            lambda s: (s, jnp.float32(0.0)), state,
         )
     # Per-sub-step pose estimates come from the exact pose tracking inside
     # the compounding (mean of the filter at each sub-step).
@@ -533,7 +538,7 @@ def ekf_frame_step(carry: EKFSimCarry, _, *, cfg: SlamConfig, world: World, nois
         for k in range(interval):
             sub_outs[k] = sub_outs[k]._replace(x_est=pose_trace[k])
     # The frame's last sub-step output reflects the post-update estimate.
-    frame_cons = frame_nis if fused else jnp.float32(0.0)
+    frame_cons = frame_nis
     sub_outs[-1] = sub_outs[-1]._replace(
         x_est=state.x[:3], n_active=state.n_active, consistency=frame_cons
     )

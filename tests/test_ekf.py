@@ -323,3 +323,16 @@ def test_nis_chi2_consistency():
     nis_i = np.asarray(outs_infl.consistency)
     nis_i = nis_i[nis_i != 0.0]
     assert 0.1 < nis_i.mean() < 0.6, nis_i.mean()
+
+    # The non-fused path (plain observation_step through update()) must
+    # report the same telemetry — it was hard-zero before round 3.
+    _, outs_nf = run_ekf_slam(
+        world,
+        SlamConfig(switch_inflate_noise=False, fast_frame=False,
+                   fused_obs=False),
+        jax.random.PRNGKey(3), n_steps=1200,
+    )
+    nis_nf = np.asarray(outs_nf.consistency)
+    nis_nf = nis_nf[nis_nf != 0.0]
+    assert nis_nf.size > 100
+    assert 1.2 < nis_nf.mean() < 3.0, nis_nf.mean()
