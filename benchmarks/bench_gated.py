@@ -50,26 +50,51 @@ def main(steps: int = 25_000):
         max_obs=64,
         switch_association_known=False,   # gated NN (the config-2 regime)
     )
+    from conan_slam_tpu.runner.loop import (
+        precompute_rollout,
+        run_ekf_slam_precomputed_chunked,
+    )
+
+    # GATED_CHUNK splits the horizon into same-shape dispatches (large-D
+    # frames run ms each; one 25k-step program at 10k landmarks would exceed
+    # the remote backend's per-execution window).
+    chunk = int(os.environ.get("GATED_CHUNK", "0"))
+    roll = precompute_rollout(world, cfg, steps)   # seed-independent workload
+
     log(f"devices: {jax.devices()}")
     key = jax.random.PRNGKey(0)
     t0 = time.time()
-    state, outs = run_ekf_slam_precomputed(world, cfg, key, n_steps=steps)
+    if chunk:
+        state, outs = run_ekf_slam_precomputed_chunked(
+            world, cfg, key, n_steps=steps, chunk_steps=chunk,
+            precomputed=roll,
+        )
+    else:
+        state, outs = run_ekf_slam_precomputed(
+            world, cfg, key, n_steps=steps, precomputed=roll
+        )
     np.asarray(outs.x_est)
     log(f"compile+first run: {time.time() - t0:.1f}s")
-
     ts = []
     for i in range(3):
         t0 = time.perf_counter()
-        state, outs = run_ekf_slam_precomputed(
-            world, cfg, jax.random.PRNGKey(100 + i), n_steps=steps
-        )
+        if chunk:
+            state, outs = run_ekf_slam_precomputed_chunked(
+                world, cfg, jax.random.PRNGKey(100 + i), n_steps=steps,
+                chunk_steps=chunk, precomputed=roll,
+            )
+        else:
+            state, outs = run_ekf_slam_precomputed(
+                world, cfg, jax.random.PRNGKey(100 + i), n_steps=steps,
+                precomputed=roll,
+            )
         np.asarray(outs.x_est)
         np.asarray(state.x)
         ts.append(time.perf_counter() - t0)
     best = min(ts)
     ate = float(metrics.ate_rmse(outs.x_true, outs.x_est, ~outs.done))
     print(
-        f"gated 500lm from scratch: {steps / best:,.0f} steps/s, "
+        f"gated {N_LANDMARKS}lm from scratch: {steps / best:,.0f} steps/s, "
         f"ATE={ate:.3f} m, mapped={int(state.n_active)}",
         flush=True,
     )

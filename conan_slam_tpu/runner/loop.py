@@ -316,6 +316,56 @@ def run_ekf_slam_precomputed(
     return _run_precomp(world, cfg, key, truth_dev, obs_dev, n_steps, state0)
 
 
+def run_ekf_slam_precomputed_chunked(
+    world: World,
+    cfg: SlamConfig,
+    key: jax.Array,
+    n_steps: int,
+    chunk_steps: int,
+    init_state: ekf_mod.EKFState | None = None,
+    precomputed=None,
+):
+    """``run_ekf_slam_precomputed`` as sequential same-shape dispatches.
+
+    Splits the horizon into ``chunk_steps``-sized scans with the filter state
+    carried between them.  Identical math to the single-scan driver (the
+    rollout is sliced; noise keys are folded per chunk, so the realisation
+    differs from the one-shot run only like a different seed does).  Use for
+    long horizons at large D where one device program would run for minutes:
+    every chunk reuses ONE compiled program, and each dispatch stays inside
+    the remote backend's per-execution window.  Returns (state, stacked
+    SimOutputs) like the one-shot driver.
+    """
+    interval = cfg.observe_interval
+    chunk_steps = ((chunk_steps + interval - 1) // interval) * interval
+    n_steps = ((n_steps + interval - 1) // interval) * interval
+    if precomputed is None:
+        precomputed = precompute_rollout(world, cfg, n_steps)
+    truth_dev, obs_dev = precomputed
+    state = (
+        init_state
+        if init_state is not None
+        else ekf_mod.init_state(cfg.max_landmarks, world.num_landmarks)
+    )
+    outs_list = []
+    n_chunks = (n_steps + chunk_steps - 1) // chunk_steps
+    for c in range(n_chunks):
+        # A ragged tail chunk compiles its own (smaller) program once.
+        s0, s1 = c * chunk_steps, min((c + 1) * chunk_steps, n_steps)
+        f0, f1 = s0 // interval, s1 // interval
+        t_slice = tuple(a[s0:s1] for a in truth_dev)
+        o_slice = tuple(a[f0:f1] for a in obs_dev)
+        state, outs = _run_precomp(
+            world, cfg, jax.random.fold_in(key, c), t_slice, o_slice,
+            s1 - s0, state,
+        )
+        outs_list.append(outs)
+    outs_all = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *outs_list
+    )
+    return state, outs_all
+
+
 class PFSimCarry(NamedTuple):
     steer: SteerState
     x_true: jax.Array

@@ -336,3 +336,30 @@ def test_nis_chi2_consistency():
     nis_nf = nis_nf[nis_nf != 0.0]
     assert nis_nf.size > 100
     assert 1.2 < nis_nf.mean() < 3.0, nis_nf.mean()
+
+
+def test_chunked_driver_matches_oneshot():
+    """run_ekf_slam_precomputed_chunked must stitch the same workload: shared
+    truth rollout, same output shapes, equivalent tracking (noise keys fold
+    per chunk, so realisations differ like seeds do)."""
+    from conan_slam_tpu.runner.loop import (
+        precompute_rollout,
+        run_ekf_slam_precomputed,
+        run_ekf_slam_precomputed_chunked,
+    )
+
+    world = default_world()
+    cfg = SlamConfig()
+    roll = precompute_rollout(world, cfg, 1200)
+    _, o1 = run_ekf_slam_precomputed(
+        world, cfg, jax.random.PRNGKey(5), n_steps=1200, precomputed=roll
+    )
+    _, o2 = run_ekf_slam_precomputed_chunked(
+        world, cfg, jax.random.PRNGKey(5), n_steps=1200, chunk_steps=420,
+        precomputed=roll,
+    )
+    assert np.asarray(o2.x_est).shape == np.asarray(o1.x_est).shape
+    np.testing.assert_array_equal(np.asarray(o1.x_true), np.asarray(o2.x_true))
+    a1 = float(metrics.ate_rmse(o1.x_true, o1.x_est, ~o1.done))
+    a2 = float(metrics.ate_rmse(o2.x_true, o2.x_est, ~o2.done))
+    assert np.isfinite(a2) and abs(a1 - a2) < 0.5, (a1, a2)
