@@ -52,9 +52,45 @@ import os as _os
 
 _FK_VMEM_BUDGET = int(_os.environ.get("FK_VMEM_BUDGET_MB", "14")) * 2**20
 
+# Precision of the O(D^2) panel rank-update matmuls (wsi / down).  Mosaic
+# lowers exactly two tiers: HIGHEST (#tpu.contract_precision<fp32>) and
+# DEFAULT (native bf16 MXU passes, fp32 accumulate); there is no bf16x3
+# middle tier.  MEASURED NEGATIVE RESULT (round 3): DEFAULT on just these
+# two matmuls gives relP = 1.3e-2 against the fp32 reference at the bench
+# shape — bf16 operand rounding is too coarse for the covariance downdate
+# (the round-2 divergence lesson held even with symmetric factors), so the
+# product default stays HIGHEST and the P pass is fp32-contract-bound.
+# Debug knob only; fixed at import like the VMEM budget.
+_PANEL_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "highest": jax.lax.Precision.HIGHEST,
+}[_os.environ.get("FK_PANEL_PRECISION", "highest")]
+
 
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def _gather_cols_mxu(a, rows, nr: int, rp: int):
+    """``a[:, rows[:nr]]`` zero-padded to ``rp`` lanes, as a one-hot MXU
+    contraction.
+
+    XLA lowers a dynamic LANE gather of a (RP, D) strip to a serialized
+    gather op (~20 us/frame at the bench shape — the single most expensive
+    piece of inter-kernel glue); the equivalent selector matmul runs on the
+    MXU in a few us.  Exact, not approximate: every output lane contracts
+    exactly one nonzero 0/1 selector entry at fp32 contract precision, so
+    this is a pure data-movement rewrite.  ``rows`` may carry arbitrary
+    values in lanes >= nr (index-padded callers); those lanes come out zero.
+    """
+    d = a.shape[-1]
+    lane = jnp.arange(rp, dtype=jnp.int32)
+    rows_p = jnp.zeros((rp,), jnp.int32).at[: rows.shape[0]].set(
+        rows.astype(jnp.int32)
+    )
+    sel = jnp.arange(d, dtype=jnp.int32)[:, None] == rows_p[None, :]
+    sel = jnp.logical_and(sel, lane[None, :] < nr)
+    return jnp.matmul(a, sel.astype(a.dtype), precision=PRECISION)
 
 
 class MeasurementChain(NamedTuple):
@@ -348,17 +384,17 @@ def _fullframe_kernel(zin_ref, rsc_ref, nblk_ref, x_ref, xrows_ref, prows_ref,
     wsi = jax.lax.dot_general(
         phtt_scr[pl.ds(i * tr, tr), :], si_scr[:, :],
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32, precision=PRECISION,
+        preferred_element_type=f32, precision=_PANEL_PRECISION,
     )                                                       # (tr, MP)
     vbv = jax.lax.dot_general(
         vtfp_ref[:, :].T, bvt_scr[:, :],
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32, precision=PRECISION,
+        preferred_element_type=f32, precision=_PANEL_PRECISION,
     )                                                       # (tr, D)
     down = jax.lax.dot_general(
         wsi, phtt_scr[:, :],
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=f32, precision=PRECISION,
+        preferred_element_type=f32, precision=_PANEL_PRECISION,
     )
     out_ref[:, :] = p_ref[:, :] + vbv - down
 
@@ -383,7 +419,11 @@ def _pick_frame_tile(d: int, mp: int, rp: int, nbp: int) -> int:
       the small resident inputs (bmat nbp^2, vrows nbp*rp, xrows rp, zin,
       and hc/rmat temps ~2 mp rp + mp^2) so the predicate stays conservative
       as shapes change;
-      panels: double-buffered (tr, D) in and out plus (tr, mp) wsi temps.
+      panels: double-buffered (tr, D) in and out plus the (tr, D) vbv and
+      down matmul temps and (tr, mp) wsi — 6 d + mp per tile row.  (The
+      matmul temps are real: with only 4 d accounted, tr=256 at the bench
+      shape estimated 13.5 MiB but Mosaic allocated 17.1 MiB on stack and
+      hit the 16 MiB scoped-vmem limit.)
     """
     if d % 128:
         return 0
@@ -395,7 +435,7 @@ def _pick_frame_tile(d: int, mp: int, rp: int, nbp: int) -> int:
     for cand in (512, 256, 128):
         if d % cand:
             continue
-        if fixed + cand * (4 * d + mp) * 4 <= budget:
+        if fixed + cand * (6 * d + mp) * 4 <= budget:
             return cand
     return 0
 
@@ -458,8 +498,8 @@ def frame_update_obs(p, x, rows, zr, zb, mask, r_cov, bmat, vtf,
     nr = rows.shape[0]
     prows_u = p[rows]                                       # (R, D)
     prows = jnp.pad(prows_u, ((0, rp - nr), (0, 0)))
-    prc = jnp.pad(prows_u[:, rows], ((0, rp - nr), (0, rp - nr)))
-    vrows = jnp.pad(vtf[:, rows], ((0, nbp - nb), (0, rp - nr)))
+    prc = jnp.pad(_gather_cols_mxu(prows_u, rows, nr, rp), ((0, rp - nr), (0, 0)))
+    vrows = jnp.pad(_gather_cols_mxu(vtf, rows, nr, rp), ((0, nbp - nb), (0, 0)))
     xrows = jnp.pad(x[rows], (0, rp - nr)).reshape(1, rp)
     bmat = jnp.pad(bmat, ((0, nbp - nb), (0, nbp - nb)))
     vtf = jnp.pad(vtf, ((0, nbp - nb), (0, 0)))
@@ -721,12 +761,12 @@ def _framestep_kernel(subs_ref, qc_ref, zin_ref, rsc_ref, nblk_ref,
     wsi = jax.lax.dot_general(
         phtt_scr[pl.ds(i * tr, tr), :], si_scr[:, :],
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=PRECISION,
+        preferred_element_type=jnp.float32, precision=_PANEL_PRECISION,
     )                                                       # (tr, MP)
     down = jax.lax.dot_general(
         wsi, phtt_scr[:, :],
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=PRECISION,
+        preferred_element_type=jnp.float32, precision=_PANEL_PRECISION,
     )                                                       # (tr, D)
     p2p = p2c_scr[pl.ds(i * tr, tr), :]                     # (tr, 1)
     out_ref[:, :] = p_ref[:, :] + p2p * fr_scr[0:1, :] - down
@@ -1134,7 +1174,7 @@ def frame_step(p, x, rows, vns, swans, phis, actives, q_cov,
         [rows, jnp.zeros((rp - nr,), rows.dtype)]
     )
     prows = p[rows_full]                                    # (RP, D)
-    prc = prows[:, rows_full]                               # (RP, RP)
+    prc = _gather_cols_mxu(prows, rows, nr, rp)             # (RP, RP)
     x0rows = x[rows_full].reshape(1, rp)
     x_row = x.reshape(1, d)
 

@@ -84,10 +84,15 @@ def rank_update_t(p, vt, b, *, interpret: bool = False):
     )
 
     def kernel(p_ref, vt_ref, vbt_ref, out_ref):
+        # Panel-precision (bf16x3) like the whole-frame kernels: the O(D^2 r)
+        # panel matmul is MXU-throughput co-bound with the HBM stream; the
+        # small B Vt prep above stays HIGHEST.
+        from conan_slam_tpu.ops.frame_kernel import _PANEL_PRECISION
+
         out_ref[:, :] = p_ref[:, :] + jax.lax.dot_general(
             vt_ref[:, :], vbt_ref[:, :],
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=PRECISION,
+            preferred_element_type=jnp.float32, precision=_PANEL_PRECISION,
         )
 
     if d % 128 == 0:
