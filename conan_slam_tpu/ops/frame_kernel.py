@@ -71,26 +71,13 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def _gather_cols_mxu(a, rows, nr: int, rp: int):
-    """``a[:, rows[:nr]]`` zero-padded to ``rp`` lanes, as a one-hot MXU
-    contraction.
-
-    XLA lowers a dynamic LANE gather of a (RP, D) strip to a serialized
-    gather op (~20 us/frame at the bench shape — the single most expensive
-    piece of inter-kernel glue); the equivalent selector matmul runs on the
-    MXU in a few us.  Exact, not approximate: every output lane contracts
-    exactly one nonzero 0/1 selector entry at fp32 contract precision, so
-    this is a pure data-movement rewrite.  ``rows`` may carry arbitrary
-    values in lanes >= nr (index-padded callers); those lanes come out zero.
-    """
-    d = a.shape[-1]
-    lane = jnp.arange(rp, dtype=jnp.int32)
-    rows_p = jnp.zeros((rp,), jnp.int32).at[: rows.shape[0]].set(
-        rows.astype(jnp.int32)
-    )
-    sel = jnp.arange(d, dtype=jnp.int32)[:, None] == rows_p[None, :]
-    sel = jnp.logical_and(sel, lane[None, :] < nr)
-    return jnp.matmul(a, sel.astype(a.dtype), precision=PRECISION)
+# MEASURED NEGATIVE RESULT (round 3): rewriting the per-frame lane gathers
+# P[rows][:, rows] / vtf[:, rows] as exact one-hot selector matmuls on the
+# MXU (selection must run at fp32 contract precision to preserve operand
+# bits) measured ~10 us/frame SLOWER than XLA's serialized gather at the
+# bench shape — the (D, RP) selector materialisation plus a 6-pass fp32
+# contraction costs more than the DMA-bound gather it replaces.  The direct
+# gathers below are the faster form; don't "optimise" them back.
 
 
 class MeasurementChain(NamedTuple):
@@ -498,8 +485,8 @@ def frame_update_obs(p, x, rows, zr, zb, mask, r_cov, bmat, vtf,
     nr = rows.shape[0]
     prows_u = p[rows]                                       # (R, D)
     prows = jnp.pad(prows_u, ((0, rp - nr), (0, 0)))
-    prc = jnp.pad(_gather_cols_mxu(prows_u, rows, nr, rp), ((0, rp - nr), (0, 0)))
-    vrows = jnp.pad(_gather_cols_mxu(vtf, rows, nr, rp), ((0, nbp - nb), (0, 0)))
+    prc = jnp.pad(prows_u[:, rows], ((0, rp - nr), (0, rp - nr)))
+    vrows = jnp.pad(vtf[:, rows], ((0, nbp - nb), (0, rp - nr)))
     xrows = jnp.pad(x[rows], (0, rp - nr)).reshape(1, rp)
     bmat = jnp.pad(bmat, ((0, nbp - nb), (0, nbp - nb)))
     vtf = jnp.pad(vtf, ((0, nbp - nb), (0, 0)))
@@ -1174,7 +1161,7 @@ def frame_step(p, x, rows, vns, swans, phis, actives, q_cov,
         [rows, jnp.zeros((rp - nr,), rows.dtype)]
     )
     prows = p[rows_full]                                    # (RP, D)
-    prc = _gather_cols_mxu(prows, rows, nr, rp)             # (RP, RP)
+    prc = prows[:, rows_full]                               # (RP, RP)
     x0rows = x[rows_full].reshape(1, rp)
     x_row = x.reshape(1, d)
 
