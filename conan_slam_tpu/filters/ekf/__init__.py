@@ -53,9 +53,10 @@ def observation_step(
 
     state, nis = jax.lax.cond(
         jnp.any(assoc.known_mask),
-        lambda s: update(s, obs, assoc.slots, assoc.known_mask, r_cov, batch,
-                         return_nis=True),
-        lambda s: (s, jnp.zeros((), s.x.dtype)),
+        lambda s: (lambda st_nis: (st_nis[0], st_nis[1].astype(jnp.float32)))(
+            update(s, obs, assoc.slots, assoc.known_mask, r_cov, batch,
+                   return_nis=True)),
+        lambda s: (s, jnp.zeros((), jnp.float32)),
         state,
     )
     state = jax.lax.cond(

@@ -103,29 +103,61 @@ def _frame_core(
 ):
     """Shared S-sub-step compounding; returns (x, pose_trace, vmat, bmat).
 
-    Coefficient-space formulation: every D-vector the recursion produces
-    (the tracked column P e2, heading gains w_k, composition vectors t_k,
-    transformed noise factors) lies in span{P0 e2, e0, e1, e2} — the noise
-    factors F_k only populate rows 0:3, u_k lies in span{e0, e1}, and
-    w_k ∝ col2 which stays inside the span.  So the whole per-sub-step
-    recursion runs on 4-coefficient scalars (one small fusion on device
-    instead of ~10 O(D) vector ops per sub-step), and the (D, r) factor
-    matrix materialises at the end as ONE outer product against P0 e2 plus
-    three row writes.  Algebraically identical to the direct recursion
-    (validated against the sequential filter in tests/test_fastframe.py).
+    Thin materialising wrapper over ``coeff_frame_core`` (which carries the
+    actual recursion): applies the map mean correction and expands the
+    coefficient columns against P0 e2 into the dense (D, r) factor matrix.
+    """
+    q_chol = jnp.linalg.cholesky(q_cov)
+    p2_0 = state.p[:, 2]
+    pose, pose_trace, corr0, cmat, bmat = coeff_frame_core(
+        state.pose, p2_0[:3], p2_0[2], vns, swans, phi_meas, active,
+        q_chol, wheel_base, dt, sigma_heading, use_heading,
+    )
+
+    # Mean: map components get sum_k v_k w_k[0] * p2_0; the pose part was
+    # tracked exactly through the compounding.  w_k's e-basis components only
+    # touch rows 0:3, which are overwritten by the exact pose — only the p2_0
+    # component survives.
+    x = state.x
+    if use_heading:
+        x = x + (p2_0 * corr0).at[:3].set(0.0)
+    x = x.at[:3].set(pose)
+
+    # Coefficient columns -> ONE outer product against P0 e2 + 3 row writes.
+    vmat = p2_0[:, None] * cmat[0][None, :]             # (D, nb)
+    vmat = vmat.at[:3, :].add(cmat[1:, :])
+    return x, pose_trace, vmat, bmat
+
+
+def coeff_frame_core(
+    pose0,          # (3,) frame-start pose mean
+    p2_head,        # (3,) first three entries of the frame-start column P e2
+    p22_0,          # ()   P[2, 2] at frame start
+    vns, swans, phi_meas, active,
+    q_chol, wheel_base, dt, sigma_heading, use_heading: bool,
+):
+    """The frame compounding in pure 4-coefficient space.
+
+    Every D-vector the recursion produces (the tracked column P e2, heading
+    gains w_k, composition vectors t_k, transformed noise factors) lies in
+    span{P0 e2, e0, e1, e2} — the noise factors F_k only populate rows 0:3,
+    u_k lies in span{e0, e1}, and w_k ∝ col2 which stays inside the span.
+    So the whole per-sub-step recursion runs on 4-coefficient scalars; the
+    only frame-start state it reads is the pose and (P e2)[:3] — O(1) data,
+    which is what makes this form communication-free for a row-sharded P
+    (parallel.dist_fastframe).
+
+    Returns ``(pose, pose_trace (S, 3), corr0, cmat (4, NB), bmat (NB, NB))``
+    where column j of ``cmat`` represents the factor vector
+    ``p2_0 * cmat[0, j] + e0 * cmat[1, j] + e1 * cmat[2, j] + e2 * cmat[3, j]``
+    and the frame covariance effect is ``P0 + V bmat V^T``; the map mean
+    correction is ``x_map += p2_0 * corr0``.
     """
     s_steps = len(vns) if isinstance(vns, (list, tuple)) else vns.shape[0]
-    d = state.x.shape[0]
-    dtype = state.p.dtype
+    dtype = pose0.dtype
     r_head = jnp.asarray(sigma_heading**2, dtype)
 
-    # Cholesky factor of q (diagonal in every config; general form kept).
-    q_chol = jnp.linalg.cholesky(q_cov)
-
-    pose = state.pose
-    p2_0 = state.p[:, 2]
-    p22_0 = p2_0[2]
-    p2_head = p2_0[:3]
+    pose = pose0
 
     # Coefficient vectors c represent p2_0*c[0] + e0*c[1] + e1*c[2] + e2*c[3].
     zero4 = jnp.zeros((4,), dtype)
@@ -209,26 +241,20 @@ def _frame_core(
         c_k = compose(-w_list[k], t[k]) if use_heading else t[k]
         f_prime.append(f_list[k] + jnp.outer(c_k, b3_list[k][2, :]))
 
-    # --- mean: map components get sum_k v_k w_k; the pose part was tracked
-    #     exactly above.  w_k's e-basis components only touch rows 0:3,
-    #     which are overwritten by the exact pose — only the p2_0 component
-    #     survives. ---
-    x = state.x
+    # --- map mean-correction coefficient (x_map += p2_0 * corr0) ---
     if use_heading:
         corr0 = sum(v_list[k] * w_list[k][0] for k in range(s_steps))
-        x = x + (p2_0 * corr0).at[:3].set(0.0)
-    x = x.at[:3].set(pose)
+    else:
+        corr0 = jnp.asarray(0.0, dtype)
 
-    # --- covariance factors: coefficient columns -> ONE outer product ---
-    # columns: [m, p2] + S F-pairs + S w vectors.
+    # --- covariance factor coefficient columns: [m, p2] + S F-pairs
+    #     [+ S w vectors] ---
     c_cols = [m_c, zero4.at[0].set(1.0)]
     c_cols += [f_prime[k][:, i] for k in range(s_steps) for i in (0, 1)]
     if use_heading:
         c_cols += w_prime
     cmat = jnp.stack(c_cols, axis=1)                    # (4, 2 + 2S [+ S])
     nb = cmat.shape[1]
-    vmat = p2_0[:, None] * cmat[0][None, :]             # (D, nb)
-    vmat = vmat.at[:3, :].add(cmat[1:, :])
     bmat = jnp.zeros((nb, nb), dtype)
     bmat = bmat.at[0, 0].set(p22_0)
     bmat = bmat.at[0, 1].set(1.0)
@@ -239,4 +265,4 @@ def _frame_core(
         for i in range(2 + 2 * s_steps, nb):
             bmat = bmat.at[i, i].set(r_head)
 
-    return x, jnp.stack(pose_trace), vmat, bmat
+    return pose, jnp.stack(pose_trace), corr0, cmat, bmat

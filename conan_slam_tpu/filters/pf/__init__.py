@@ -46,9 +46,15 @@ def observation_step(
     proposal_relinearize: bool = False,
     resample_kind: str = "stratified",
     roughening: float = 0.0,
+    resample_fn=None,
 ) -> ParticleEnsemble:
     """Associate -> proposal+feature updates -> resample -> new features,
-    mirroring the driver's PF observation branch (test/main.cpp:290-333)."""
+    mirroring the driver's PF observation branch (test/main.cpp:290-333).
+
+    ``resample_fn(ens, key, num_effective, enabled, kind, roughening)``
+    overrides the resampling implementation — the distributed layer passes
+    the explicit ring-ppermute resample (parallel.dist_pf.sharded_resample)
+    so the WHOLE observation step runs under particle sharding."""
     k_prop, k_res, k_samp = jax.random.split(key, 3)
     known, slots, new = associate_known(ens, obs)
     have_known = jnp.any(known)
@@ -61,6 +67,9 @@ def observation_step(
         else:
             e = ens
         e = feature_update(e, obs, slots, known, r_cov)
+        if resample_fn is not None:
+            return resample_fn(e, k_res, num_effective, resample_on,
+                               kind=resample_kind, roughening=roughening)
         return resample(e, k_res, num_effective, resample_on,
                         kind=resample_kind, roughening=roughening)
 

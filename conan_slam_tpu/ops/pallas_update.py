@@ -84,9 +84,10 @@ def rank_update_t(p, vt, b, *, interpret: bool = False):
     )
 
     def kernel(p_ref, vt_ref, vbt_ref, out_ref):
-        # Panel-precision (bf16x3) like the whole-frame kernels: the O(D^2 r)
-        # panel matmul is MXU-throughput co-bound with the HBM stream; the
-        # small B Vt prep above stays HIGHEST.
+        # Panel precision shares the frame kernels' knob (_PANEL_PRECISION,
+        # default HIGHEST = fp32 contract — DEFAULT is a measured correctness
+        # failure and no bf16x3 tier exists on Mosaic, see frame_kernel.py);
+        # the small B Vt prep above always stays HIGHEST.
         from conan_slam_tpu.ops.frame_kernel import _PANEL_PRECISION
 
         out_ref[:, :] = p_ref[:, :] + jax.lax.dot_general(

@@ -12,6 +12,8 @@ point (PF.cpp:477-499).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import shard_map
@@ -156,3 +158,78 @@ def sharded_resample(
     return ens._replace(
         log_w=logw, pose=pose, pose_cov=pose_cov, xf=xf, pf=pf
     )
+
+
+def _resample_with_roughening(
+    mesh, ens: ParticleEnsemble, key, num_effective, enabled,
+    kind: str = "stratified", roughening: float = 0.0,
+    axis: str = PARTICLE_AXIS,
+) -> ParticleEnsemble:
+    """``filters.pf.resample``-signature adapter over ``sharded_resample``.
+
+    Ring-ppermute resample plus (when configured) the Gordon-style
+    post-resample pose roughening of the single-device path — the jitter is
+    drawn from the same global key/shape, so results match the single-device
+    resample exactly; the spread reduction and elementwise jitter partition
+    over the particle axis under GSPMD.
+    """
+    if not enabled:
+        return ens
+    out = sharded_resample(mesh, ens, key, num_effective, kind, axis)
+    if roughening > 0.0:
+        from conan_slam_tpu.core.geometry import wrap_angle
+        from conan_slam_tpu.filters.pf.state import normalized_weights
+        from conan_slam_tpu.filters.pf.resample import effective_count
+
+        _, k_rough = jax.random.split(key)
+        did = effective_count(normalized_weights(ens)) < num_effective
+        n = ens.num_particles
+        spread = jnp.max(ens.pose, axis=0) - jnp.min(ens.pose, axis=0)
+        sig = roughening * spread * float(n) ** (-1.0 / 3.0)
+        pose = out.pose + sig * jax.random.normal(
+            k_rough, out.pose.shape, out.pose.dtype
+        )
+        pose = pose.at[:, 2].set(wrap_angle(pose[:, 2]))
+        out = out._replace(pose=jnp.where(did, pose, out.pose))
+    return out
+
+
+def sharded_observation_step(
+    mesh, ens: ParticleEnsemble, obs, r_cov, key, *,
+    num_effective: float,
+    sample_proposal_on: bool,
+    resample_on: bool,
+    proposal_relinearize: bool = False,
+    resample_kind: str = "stratified",
+    roughening: float = 0.0,
+    axis: str = PARTICLE_AXIS,
+) -> ParticleEnsemble:
+    """The FULL PF observation block under particle sharding.
+
+    Runs the single-device ``filters.pf.observation_step`` — optimal-proposal
+    sampling (reference PF.cpp:502-544), per-feature 2x2 map updates
+    (PF.cpp:222-277), new-feature founding (PF.cpp:9-60) and the replicated
+    table bookkeeping — with the ensemble constrained to the particles mesh
+    axis, and the resampling swapped for the explicit ring-ppermute
+    collective.  The vmapped per-particle blocks partition with zero
+    communication (their only cross-particle data — obs, table, n_active —
+    is replicated); the ``lax.cond`` gates dispatch on replicated
+    predicates.  Equivalence with the single-device step is asserted in
+    tests/test_parallel.py.
+    """
+    from conan_slam_tpu.filters import pf as pf_mod
+
+    ens = constrain(ens, mesh, axis)
+    out = pf_mod.observation_step(
+        ens, obs, r_cov, key,
+        num_effective=num_effective,
+        sample_proposal_on=sample_proposal_on,
+        resample_on=resample_on,
+        proposal_relinearize=proposal_relinearize,
+        resample_kind=resample_kind,
+        roughening=roughening,
+        resample_fn=functools.partial(
+            _resample_with_roughening, mesh, axis=axis
+        ),
+    )
+    return constrain(out, mesh, axis)

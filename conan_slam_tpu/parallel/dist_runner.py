@@ -44,33 +44,62 @@ class DistEKFCarry(NamedTuple):
 def dist_ekf_frame_step(
     carry: DistEKFCarry, _, *, cfg: SlamConfig, world: World, noise: NoiseCovs, mesh
 ):
+    """One observation frame on the sharded state.
+
+    With ``cfg.fast_frame`` (the default) the whole frame — ``interval``
+    predict+heading sub-steps compounded as a rank update, observe, and the
+    Schur-style batched measurement update — runs as ONE shard_map kernel
+    with three collective rounds (parallel.dist_fastframe), the distributed
+    port of the single-chip fused frame; only the (rare-content) augment is
+    a separate dispatch.  The legacy multi-dispatch composition (one
+    shard_map per sub-step) remains under ``fast_frame=False``.
+    """
     interval = cfg.observe_interval
     key, k_obs = jax.random.split(carry.key)
     steer_state, x_true = carry.steer, carry.x_true
     x, p = carry.x, carry.p
 
     outs = []
-    for k in range(interval):
-        was_done = steer_state.done
-        k_ctrl = jax.random.fold_in(key, k)
-        steer_state, x_true, vn, swan = _advance_truth(
-            steer_state, x_true, world, cfg, k_ctrl
-        )
-        x_new, p_new = dist_ekf.sharded_predict(
-            mesh, x, p, vn, swan, noise.qe, cfg.wheel_base, cfg.dt_controls
-        )
-        if cfg.switch_heading_known:
-            x_new, p_new = dist_ekf.sharded_observe_heading(
-                mesh, x_new, p_new, x_true[2], cfg.sigma_heading
+    if cfg.fast_frame:
+        vns, swans, phis, actives = [], [], [], []
+        for k in range(interval):
+            was_done = steer_state.done
+            k_ctrl = jax.random.fold_in(key, k)
+            steer_state, x_true, vn, swan = _advance_truth(
+                steer_state, x_true, world, cfg, k_ctrl
             )
-        x = jnp.where(was_done, x, x_new)
-        p = jnp.where(was_done, p, p_new)
-        outs.append(
-            SimOutputs(
-                x_true=x_true, x_est=x[:3], done=steer_state.done,
-                n_active=carry.n_active, consistency=jnp.float32(0.0),
+            vns.append(vn)
+            swans.append(swan)
+            phis.append(x_true[2])
+            actives.append(jnp.logical_not(was_done))
+            outs.append(
+                SimOutputs(
+                    x_true=x_true, x_est=x[:3], done=steer_state.done,
+                    n_active=carry.n_active, consistency=jnp.float32(0.0),
+                )
             )
-        )
+    else:
+        for k in range(interval):
+            was_done = steer_state.done
+            k_ctrl = jax.random.fold_in(key, k)
+            steer_state, x_true, vn, swan = _advance_truth(
+                steer_state, x_true, world, cfg, k_ctrl
+            )
+            x_new, p_new = dist_ekf.sharded_predict(
+                mesh, x, p, vn, swan, noise.qe, cfg.wheel_base, cfg.dt_controls
+            )
+            if cfg.switch_heading_known:
+                x_new, p_new = dist_ekf.sharded_observe_heading(
+                    mesh, x_new, p_new, x_true[2], cfg.sigma_heading
+                )
+            x = jnp.where(was_done, x, x_new)
+            p = jnp.where(was_done, p, p_new)
+            outs.append(
+                SimOutputs(
+                    x_true=x_true, x_est=x[:3], done=steer_state.done,
+                    n_active=carry.n_active, consistency=jnp.float32(0.0),
+                )
+            )
 
     nz = min(world.num_landmarks, cfg.max_observations())
     obs_full = sensor_sim.get_observations(x_true, world.landmarks, cfg.max_range)
@@ -87,14 +116,33 @@ def dist_ekf_frame_step(
     new_mask = jnp.logical_and(jnp.logical_and(obs.mask, slots < 0), live)
 
     cap = (x.shape[0] - 3) // 2
-    x, p = dist_ekf.sharded_observation_update(
-        mesh, x, p, obs.z, jnp.maximum(slots, 0), known, noise.re, capacity=cap
-    )
+    frame_nis = jnp.float32(0.0)
+    if cfg.fast_frame:
+        from conan_slam_tpu.parallel.dist_fastframe import sharded_frame_update
+
+        safe_slots = jnp.clip(jnp.maximum(slots, 0), 0, cap - 1)
+        x, p, frame_nis, pose_trace = sharded_frame_update(
+            mesh, x, p,
+            jnp.stack(vns), jnp.stack(swans), jnp.stack(phis),
+            jnp.stack(actives),
+            noise.qe, obs.z, safe_slots, known, noise.re,
+            cfg.wheel_base, cfg.dt_controls, cfg.sigma_heading,
+            cfg.switch_heading_known,
+        )
+        for k in range(interval):
+            outs[k] = outs[k]._replace(x_est=pose_trace[k])
+    else:
+        x, p = dist_ekf.sharded_observation_update(
+            mesh, x, p, obs.z, jnp.maximum(slots, 0), known, noise.re,
+            capacity=cap,
+        )
     x, p, n_active, table = dist_ekf.sharded_augment(
         mesh, x, p, obs.z, obs.ids, new_mask, noise.re, carry.n_active, carry.table
     )
 
-    outs[-1] = outs[-1]._replace(x_est=x[:3], n_active=n_active)
+    outs[-1] = outs[-1]._replace(
+        x_est=x[:3], n_active=n_active, consistency=frame_nis
+    )
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
     return (
         DistEKFCarry(

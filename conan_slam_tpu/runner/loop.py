@@ -342,6 +342,16 @@ def run_ekf_slam_precomputed_chunked(
     if precomputed is None:
         precomputed = precompute_rollout(world, cfg, n_steps)
     truth_dev, obs_dev = precomputed
+    if truth_dev[0].shape[0] < n_steps:
+        raise ValueError(
+            f"precomputed truth rollout covers {truth_dev[0].shape[0]} steps "
+            f"but n_steps={n_steps} (rounded to whole frames) was requested"
+        )
+    if obs_dev[0].shape[0] < n_steps // interval:
+        raise ValueError(
+            f"precomputed observation rollout covers {obs_dev[0].shape[0]} "
+            f"frames but {n_steps // interval} are needed for n_steps={n_steps}"
+        )
     state = (
         init_state
         if init_state is not None

@@ -177,6 +177,63 @@ def test_sharded_resample_matches_single_device():
     )
 
 
+def test_sharded_pf_observation_step_matches_single_device():
+    """The FULL PF observation block (proposal + feature update + resample +
+    new-feature founding + table bookkeeping) under particle sharding must be
+    bit-identical to the single-device step (same keys, same strata)."""
+    from conan_slam_tpu.filters.common import CompactObs
+    from conan_slam_tpu.models import sensor
+
+    mesh = make_mesh({PARTICLE_AXIS: 8})
+    n, cap = 64, 8
+    ens = pf.init_ensemble(n, cap, 16)
+    rng = np.random.default_rng(11)
+    feats = rng.uniform(-200, 200, size=(4, 2)).astype(np.float32)
+    xf = np.zeros((n, cap, 2), np.float32)
+    xf[:, :4] = feats + rng.normal(size=(n, 4, 2)).astype(np.float32) * 0.5
+    pfc = np.broadcast_to(np.eye(2, dtype=np.float32) * 0.4, (n, cap, 2, 2)).copy()
+    table = np.full((16,), -1, np.int32)
+    table[:4] = np.arange(4)
+    ens = ens._replace(
+        pose=jnp.asarray(
+            rng.normal(size=(n, 3)).astype(np.float32) * [2.0, 2.0, 0.2]
+        ),
+        pose_cov=jnp.asarray(
+            np.broadcast_to(np.eye(3, dtype=np.float32) * 0.01, (n, 3, 3)).copy()
+        ),
+        log_w=jnp.asarray(rng.normal(size=(n,)).astype(np.float32)),
+        xf=jnp.asarray(xf), pf=jnp.asarray(pfc),
+        n_active=jnp.int32(4), table=jnp.asarray(table),
+    )
+    r = jnp.asarray(np.diag([0.02, 0.0012]).astype(np.float32))
+    zp, _, _ = sensor.observe(jnp.zeros(3), jnp.asarray(feats))
+    z = np.zeros((6, 2), np.float32)
+    z[:4] = np.asarray(zp) + rng.normal(size=(4, 2)).astype(np.float32) * [0.1, 0.005]
+    z[4] = [150.0, 0.7]                       # founds a new landmark (id 9)
+    obs = CompactObs(z=jnp.asarray(z),
+                     ids=jnp.asarray([0, 1, 2, 3, 9, -1], jnp.int32),
+                     mask=jnp.asarray([True] * 5 + [False]))
+    key = jax.random.PRNGKey(3)
+
+    for kw in (
+        dict(num_effective=48.0, sample_proposal_on=True, resample_on=True),
+        dict(num_effective=48.0, sample_proposal_on=True, resample_on=True,
+             resample_kind="systematic", roughening=0.02),
+        dict(num_effective=48.0, sample_proposal_on=False, resample_on=True),
+    ):
+        ref = jax.jit(lambda e: pf.observation_step(e, obs, r, key, **kw))(ens)
+        out = jax.jit(
+            lambda e: dist_pf.sharded_observation_step(mesh, e, obs, r, key, **kw)
+        )(dist_pf.shard_ensemble(mesh, ens))
+        for name in ("pose", "pose_cov", "xf", "pf", "log_w"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(out, name)), np.asarray(getattr(ref, name)),
+                rtol=1e-6, atol=1e-6, err_msg=f"{kw}:{name}",
+            )
+        assert int(out.n_active) == int(ref.n_active)
+        np.testing.assert_array_equal(np.asarray(out.table), np.asarray(ref.table))
+
+
 def test_sharded_augment_matches_single_device():
     from conan_slam_tpu.filters import ekf
     from conan_slam_tpu.filters.common import CompactObs
@@ -219,6 +276,85 @@ def test_sharded_augment_matches_single_device():
                                rtol=1e-3, atol=1e-3)
     assert int(n_act_new) == int(ref.n_active)
     np.testing.assert_array_equal(np.asarray(table_new), np.asarray(ref.table))
+
+
+def test_sharded_frame_update_matches_single_device_fused_frame():
+    """The ONE-dispatch distributed frame (dist_fastframe) must equal the
+    single-device fused frame (frame factors folded into the batched
+    measurement update) to float32 tolerance, and an all-inactive frame must
+    be an exact no-op."""
+    from conan_slam_tpu.filters import ekf
+    from conan_slam_tpu.filters.common import CompactObs
+    from conan_slam_tpu.filters.ekf.fastframe import frame_factors
+    from conan_slam_tpu.filters.ekf.update import fused_frame_update
+    from conan_slam_tpu.models import sensor
+    from conan_slam_tpu.parallel import dist_fastframe
+
+    mesh = make_mesh({STATE_AXIS: 8})
+    rng = np.random.default_rng(4)
+    cap = 30
+    d = 3 + 2 * cap
+    feats = rng.uniform(-500, 500, size=(cap, 2)).astype(np.float32)
+    state = ekf.init_state(cap, 40)
+    x0 = np.zeros((d,), np.float32)
+    x0[:3] = [5.0, -2.0, 0.4]
+    x0[3:] = feats.reshape(-1)
+    a = rng.normal(size=(d, d)).astype(np.float32) * 0.05
+    p0 = a @ a.T + np.eye(d, dtype=np.float32) * 0.1
+    state = state._replace(x=jnp.asarray(x0), p=jnp.asarray(p0),
+                           n_active=jnp.int32(cap))
+
+    q = jnp.asarray(np.diag([0.18, 0.0006]).astype(np.float32))
+    r = jnp.asarray(np.diag([0.08, 0.0024]).astype(np.float32))
+    s_steps = 6
+    vns = jnp.asarray(80.0 + rng.normal(size=(s_steps,)).astype(np.float32))
+    swans = jnp.asarray(rng.normal(size=(s_steps,)).astype(np.float32) * 0.03)
+    phis = jnp.asarray(
+        0.4 + np.cumsum(rng.normal(size=(s_steps,)).astype(np.float32) * 0.005)
+    )
+    act = jnp.ones((s_steps,), bool)
+
+    nz = 5
+    zp, _, _ = sensor.observe(state.pose, jnp.asarray(feats[:nz]))
+    z = jnp.asarray(
+        np.asarray(zp) + rng.normal(size=(nz, 2)).astype(np.float32) * [0.3, 0.01]
+    )
+    obs = CompactObs(z=z, ids=jnp.arange(nz, dtype=jnp.int32),
+                     mask=jnp.asarray([True] * 4 + [False]))
+    slots = jnp.asarray([0, 1, 2, 3, 0], jnp.int32)
+    mask = jnp.asarray([True, True, True, True, False])
+    sigma_h = 0.000175
+
+    st1, pt_ref, vmat, bmat = frame_factors(
+        state, vns, swans, phis, act, q, 73.0, 0.01, sigma_h, True
+    )
+    ref, nis_ref = fused_frame_update(
+        st1, vmat, bmat, obs, slots, mask, r, use_pallas=False, return_nis=True
+    )
+
+    xs, ps = dist_ekf.shard_state(mesh, state.x, state.p)
+    run = jax.jit(
+        lambda xs, ps, act, mask: dist_fastframe.sharded_frame_update(
+            mesh, xs, ps, vns, swans, phis, act, q, z, slots, mask, r,
+            73.0, 0.01, sigma_h, True,
+        )
+    )
+    xs2, ps2, nis2, pt2 = run(xs, ps, act, mask)
+    np.testing.assert_allclose(np.asarray(xs2)[:d], np.asarray(ref.x),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ps2)[:d, :d], np.asarray(ref.p),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(float(nis2), float(nis_ref), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(pt2), np.asarray(pt_ref),
+                               rtol=1e-5, atol=1e-5)
+
+    # All-inactive, all-masked frame: exact no-op (modulo the heading wrap).
+    xs3, ps3, nis3, _ = run(
+        xs, ps, jnp.zeros((s_steps,), bool), jnp.zeros((nz,), bool)
+    )
+    np.testing.assert_allclose(np.asarray(xs3), np.asarray(xs), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ps3), np.asarray(ps), atol=0)
+    assert float(nis3) == 0.0
 
 
 @pytest.mark.slow
