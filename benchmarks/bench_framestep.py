@@ -326,6 +326,45 @@ def main(modes):
         timeit("factkernel", run_scan(factkernel_step, state0, frames),
                state0, frames)
 
+    if "glue" in modes:
+        # The EXACT precomputed-driver frame body (runner.loop.
+        # ekf_precomp_frame_step) with the megakernel call replaced by a
+        # cheap touch — measures everything the driver pays per frame
+        # OUTSIDE the fused kernel (obs assembly, association, gathers/prep,
+        # augment cond, output stacking).
+        from conan_slam_tpu.runner.loop import ekf_precomp_frame_step
+        import conan_slam_tpu.filters.ekf as ekf_pkg
+
+        real_fused = ekf_pkg.fused_frame_step
+
+        def stub_fused(state, vns, swans, phis, actives, q_cov, obs, slots,
+                       mask, r_cov, *args, **kw):
+            nis = jnp.sum(vns) * 1e-20 + jnp.sum(jnp.where(mask, obs.z[:, 0], 0.0)) * 1e-20
+            x = state.x.at[0].add(nis)
+            pt = jnp.zeros((vns.shape[0], 3), jnp.float32) + x[0]
+            return state._replace(x=x), pt, nis
+
+        from conan_slam_tpu.sim.precompute import rollout_observations
+        obs_roll = rollout_observations(
+            roll.x_true, np.asarray(world.landmarks), cfg.max_range, nz, interval
+        )
+        frames_glue = frames[:4] + (
+            frames[4],
+            jnp.asarray(obs_roll.z_true),
+            jnp.asarray(obs_roll.ids),
+            jnp.asarray(obs_roll.mask),
+            obs_noise[:, :nz, :],
+        )
+        ekf_pkg.fused_frame_step = stub_fused
+        try:
+            def glue_step(state, frame):
+                return ekf_precomp_frame_step(state, frame, cfg=cfg,
+                                              world=world, noise=noise)
+            timeit("glue", run_scan(glue_step, state0, frames_glue),
+                   state0, frames_glue)
+        finally:
+            ekf_pkg.fused_frame_step = real_fused
+
     if "assoc" in modes:
         def assoc_step(state, frame):
             x_true_f, vns, swans, active_f, done_f, obs_noise_f = frame_inputs(frame)

@@ -324,6 +324,7 @@ def run_ekf_slam_precomputed_chunked(
     chunk_steps: int,
     init_state: ekf_mod.EKFState | None = None,
     precomputed=None,
+    checkpoint_dir: str | None = None,
 ):
     """``run_ekf_slam_precomputed`` as sequential same-shape dispatches.
 
@@ -335,6 +336,15 @@ def run_ekf_slam_precomputed_chunked(
     every chunk reuses ONE compiled program, and each dispatch stays inside
     the remote backend's per-execution window.  Returns (state, stacked
     SimOutputs) like the one-shot driver.
+
+    ``checkpoint_dir`` enables restartable execution (SURVEY.md section 5 —
+    the reference serialises nothing, test/main.cpp:106-108): after each
+    chunk the filter state and accumulated outputs are checkpointed
+    (utils.checkpoint / orbax), and a rerun with the same arguments resumes
+    from the latest complete chunk.  Because chunk boundaries and per-chunk
+    noise keys (``fold_in(key, c)``) are deterministic in the arguments, a
+    killed-and-resumed run produces bit-identical trajectories to an
+    uninterrupted one (asserted in tests/test_utils.py).
     """
     interval = cfg.observe_interval
     chunk_steps = ((chunk_steps + interval - 1) // interval) * interval
@@ -359,7 +369,42 @@ def run_ekf_slam_precomputed_chunked(
     )
     outs_list = []
     n_chunks = (n_steps + chunk_steps - 1) // chunk_steps
-    for c in range(n_chunks):
+    start_chunk = 0
+    if checkpoint_dir is not None:
+        import os
+
+        from conan_slam_tpu.utils import checkpoint as ckpt_mod
+
+        done = (
+            sorted(
+                int(name.split("_")[1])
+                for name in os.listdir(checkpoint_dir)
+                if name.startswith("chunk_")
+            )
+            if os.path.isdir(checkpoint_dir)
+            else []
+        )
+        done = [c for c in done if c < n_chunks]
+        if done:
+            c0 = done[-1]
+            steps_done = min((c0 + 1) * chunk_steps, n_steps)
+            template = {
+                "state": state,
+                "outs": SimOutputs(
+                    x_true=jnp.zeros((steps_done, 3), jnp.float32),
+                    x_est=jnp.zeros((steps_done, 3), jnp.float32),
+                    done=jnp.zeros((steps_done,), bool),
+                    n_active=jnp.zeros((steps_done,), jnp.int32),
+                    consistency=jnp.zeros((steps_done,), jnp.float32),
+                ),
+            }
+            restored = ckpt_mod.restore(
+                os.path.join(checkpoint_dir, f"chunk_{c0:05d}"), template
+            )
+            state = restored["state"]
+            outs_list = [restored["outs"]]
+            start_chunk = c0 + 1
+    for c in range(start_chunk, n_chunks):
         # A ragged tail chunk compiles its own (smaller) program once.
         s0, s1 = c * chunk_steps, min((c + 1) * chunk_steps, n_steps)
         f0, f1 = s0 // interval, s1 // interval
@@ -370,6 +415,18 @@ def run_ekf_slam_precomputed_chunked(
             s1 - s0, state,
         )
         outs_list.append(outs)
+        if checkpoint_dir is not None:
+            import os
+
+            from conan_slam_tpu.utils import checkpoint as ckpt_mod
+
+            outs_sofar = jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *outs_list
+            )
+            ckpt_mod.save(
+                os.path.join(checkpoint_dir, f"chunk_{c:05d}"),
+                {"state": state, "outs": outs_sofar},
+            )
     outs_all = jax.tree_util.tree_map(
         lambda *xs: jnp.concatenate(xs, axis=0), *outs_list
     )

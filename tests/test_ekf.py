@@ -154,22 +154,101 @@ def test_batch_update_matches_dense_reference_math():
     np.testing.assert_allclose(out.p, p0 - w @ s @ w.T, rtol=1e-2, atol=1e-3)
 
 
-def test_sequential_update_runs_and_moves_towards_batch():
+def _sequential_oracle(x0, p0, z_list, slot_list, r, dtype=np.float64):
+    """Dense per-measurement NumPy reference of ``sequential_update``:
+    for each measurement IN BUFFER ORDER, re-derive the observation model at
+    the CURRENT mean (reference EKF::singleUpdate loops observeModel +
+    choleskyUpdate per measurement, EKF.cpp:457-479), then apply the
+    Cholesky-form KF update P -= W1 W1^T."""
+    x = np.asarray(x0, dtype).copy()
+    p = np.asarray(p0, dtype).copy()
+    r = np.asarray(r, dtype)
+    for z_i, slot in zip(z_list, slot_list):
+        fx, fy = x[3 + 2 * slot], x[4 + 2 * slot]
+        dx, dy = fx - x[0], fy - x[1]
+        d2 = dx * dx + dy * dy
+        d = np.sqrt(d2)
+        zp = np.asarray([d, np.arctan2(dy, dx) - x[2]])
+        h = np.zeros((2, x.shape[0]), dtype)
+        h[0, :3] = [-dx / d, -dy / d, 0.0]
+        h[1, :3] = [dy / d2, -dx / d2, -1.0]
+        h[0, 3 + 2 * slot: 5 + 2 * slot] = [dx / d, dy / d]
+        h[1, 3 + 2 * slot: 5 + 2 * slot] = [-dy / d2, dx / d2]
+        v = np.asarray(z_i, dtype) - zp
+        v[1] = (v[1] + np.pi) % (2 * np.pi) - np.pi
+        pht = p @ h.T
+        s = h @ pht + r
+        s = 0.5 * (s + s.T)
+        w = pht @ np.linalg.inv(s)
+        x = x + w @ v
+        p = p - w @ s @ w.T
+        p = 0.5 * (p + p.T)
+    x[2] = (x[2] + np.pi) % (2 * np.pi) - np.pi
+    return x, p
+
+
+def test_sequential_update_matches_dense_per_measurement_oracle():
+    """SURVEY section 7.3 item 2: sequential semantics are order-dependent
+    and must not be silently parallelised.  Asserts (a) equality with a
+    float64 dense per-measurement oracle, (b) that reversing the buffer
+    changes the result, and (c) that the implementation tracks the oracle
+    under that reversal too — i.e. the order dependence itself is correct,
+    not just one ordering."""
     rng = np.random.default_rng(13)
-    feats = np.asarray([[30.0, 10.0], [-20.0, 25.0]], np.float32)
+    feats = np.asarray(
+        [[30.0, 10.0], [-20.0, 25.0], [12.0, -18.0]], np.float32
+    )
     state = _make_state_with_features(rng, cap=4, feats=feats)
-    zp0, _, _ = sensor.observe(state.pose, jnp.asarray(feats[0]))
-    obs = CompactObs(
-        z=jnp.asarray([np.asarray(zp0) + [0.2, 0.005]], jnp.float32).reshape(1, 2),
-        ids=jnp.asarray([0], jnp.int32),
+    z = np.zeros((3, 2), np.float32)
+    for i in range(3):
+        zp_i, _, _ = sensor.observe(state.pose, jnp.asarray(feats[i]))
+        z[i] = np.asarray(zp_i) + [0.5 - 0.3 * i, 0.01 * (i + 1)]
+    r = np.diag([0.01, 0.0003]).astype(np.float32)
+    slots_np = np.asarray([0, 1, 2])
+
+    def run_impl(order):
+        obs = CompactObs(
+            z=jnp.asarray(z[order]),
+            ids=jnp.asarray(slots_np[order], jnp.int32),
+            mask=jnp.asarray([True] * 3),
+        )
+        return ekf.sequential_update(
+            state, obs, jnp.asarray(slots_np[order], jnp.int32),
+            jnp.asarray([True] * 3), jnp.asarray(r),
+        )
+
+    fwd = np.asarray([0, 1, 2])
+    rev = np.asarray([2, 1, 0])
+    out_f = run_impl(fwd)
+    out_r = run_impl(rev)
+    xo_f, po_f = _sequential_oracle(state.x, state.p, z[fwd], slots_np[fwd], r)
+    xo_r, po_r = _sequential_oracle(state.x, state.p, z[rev], slots_np[rev], r)
+
+    np.testing.assert_allclose(np.asarray(out_f.x), xo_f, rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_f.p), po_f, rtol=1e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_r.x), xo_r, rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_r.p), po_r, rtol=1e-3, atol=2e-4)
+
+    # Order dependence is real: both the oracle and the implementation must
+    # move by more than float noise between orderings, and by the SAME gap.
+    gap_oracle = np.max(np.abs(xo_f - xo_r))
+    gap_impl = float(jnp.max(jnp.abs(out_f.x - out_r.x)))
+    assert gap_oracle > 1e-6, gap_oracle
+    np.testing.assert_allclose(gap_impl, gap_oracle, rtol=1e-2, atol=1e-5)
+
+    # Single measurement: batch and sequential coincide (sanity anchor).
+    obs1 = CompactObs(
+        z=jnp.asarray(z[:1]), ids=jnp.asarray([0], jnp.int32),
         mask=jnp.asarray([True]),
     )
-    r = jnp.asarray(np.diag([0.01, 0.0003]).astype(np.float32))
-    slots = jnp.asarray([0], jnp.int32)
-    mask = jnp.asarray([True])
-    out_b = ekf.batch_update(state, obs, slots, mask, r)
-    out_s = ekf.sequential_update(state, obs, slots, mask, r)
-    # With a single measurement, batch and sequential are identical.
+    out_b = ekf.batch_update(
+        state, obs1, jnp.asarray([0], jnp.int32), jnp.asarray([True]),
+        jnp.asarray(r),
+    )
+    out_s = ekf.sequential_update(
+        state, obs1, jnp.asarray([0], jnp.int32), jnp.asarray([True]),
+        jnp.asarray(r),
+    )
     np.testing.assert_allclose(out_s.x, out_b.x, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(out_s.p, out_b.p, rtol=1e-3, atol=1e-4)
 
