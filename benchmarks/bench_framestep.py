@@ -365,6 +365,68 @@ def main(modes):
         finally:
             ekf_pkg.fused_frame_step = real_fused
 
+    if "body_noaug" in modes or "body_aug" in modes:
+        # Hypothesis probe: the augment lax.cond in the driver body forces a
+        # copy of the kernel's P output (the untaken identity branch cannot
+        # alias).  body_noaug = exact driver body minus the cond; body_aug =
+        # with it.  The difference is the cond's cost on a steady-state run.
+        from conan_slam_tpu.sim.precompute import rollout_observations
+        obs_roll2 = rollout_observations(
+            roll.x_true, np.asarray(world.landmarks), cfg.max_range, nz, interval
+        )
+        frames_body = frames[:4] + (
+            frames[4],
+            jnp.asarray(obs_roll2.z_true),
+            jnp.asarray(obs_roll2.ids),
+            jnp.asarray(obs_roll2.mask),
+            obs_noise[:, :nz, :],
+        )
+        from conan_slam_tpu.filters.common import CompactObs
+
+        def make_body(with_aug):
+            def body(state, frame):
+                (x_true_f, swa_f, active_f, done_f, ctrl_noise_f,
+                 z_true_f, ids_f, zmask_f, obs_noise_f) = frame
+                vns = cfg.velocity + ctrl_noise_f[:, 0] * cfg.sigma_v
+                swans = swa_f + ctrl_noise_f[:, 1] * cfg.sigma_swa
+                z = z_true_f + obs_noise_f * jnp.asarray(
+                    [cfg.sigma_r, cfg.sigma_b], z_true_f.dtype)
+                obs = CompactObs(z=jnp.where(zmask_f[:, None], z, 0.0),
+                                 ids=ids_f, mask=zmask_f)
+                live = jnp.logical_not(done_f[-1])
+                assoc = ekf_mod.associate_known(state, obs)
+                state, pose_trace, frame_nis = ekf_mod.fused_frame_step(
+                    state, vns, swans, x_true_f[:, 2], active_f, noise.qe,
+                    obs, assoc.slots,
+                    jnp.logical_and(assoc.known_mask, live), noise.re,
+                    cfg.wheel_base, cfg.dt_controls, cfg.sigma_heading,
+                    cfg.switch_heading_known,
+                )
+                if with_aug == "cond":
+                    new_mask = jnp.logical_and(assoc.new_mask, live)
+                    state = jax.lax.cond(
+                        jnp.any(new_mask),
+                        lambda s: ekf_mod.augment(s, obs, new_mask, noise.re),
+                        lambda s: s,
+                        state,
+                    )
+                elif with_aug == "uncond":
+                    new_mask = jnp.logical_and(assoc.new_mask, live)
+                    state = ekf_mod.augment(state, obs, new_mask, noise.re)
+                return state, pose_trace[-1]
+            return body
+
+        if "body_noaug" in modes:
+            timeit("body_noaug", run_scan(make_body(None), state0, frames_body),
+                   state0, frames_body)
+        if "body_aug" in modes:
+            timeit("body_aug", run_scan(make_body("cond"), state0, frames_body),
+                   state0, frames_body)
+        if "body_uncond" in modes:
+            timeit("body_uncond", run_scan(make_body("uncond"), state0,
+                                           frames_body),
+                   state0, frames_body)
+
     if "assoc" in modes:
         def assoc_step(state, frame):
             x_true_f, vns, swans, active_f, done_f, obs_noise_f = frame_inputs(frame)

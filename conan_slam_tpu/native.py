@@ -41,6 +41,19 @@ def _load():
         ctypes.POINTER(ctypes.c_float),                    # out ate
         ctypes.POINTER(ctypes.c_float),                    # out traj (nullable)
     ]
+    lib.run_ekf_baseline_v3.restype = ctypes.c_int64
+    lib.run_ekf_baseline_v3.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,      # landmarks
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,      # waypoints
+        ctypes.c_int, ctypes.c_uint64, ctypes.c_int,       # max_steps, seed, noise
+        ctypes.c_int, ctypes.c_float,                      # prebuild_map, sigma0
+        ctypes.c_int,                                      # opt (SIMD path)
+        ctypes.c_int, ctypes.c_float, ctypes.c_float,      # gated, gate1, gate2
+        ctypes.c_int,                                      # max_obs (0 = all)
+        ctypes.POINTER(ctypes.c_double),                   # out seconds
+        ctypes.POINTER(ctypes.c_float),                    # out ate
+        ctypes.POINTER(ctypes.c_float),                    # out traj (nullable)
+    ]
     _lib = lib
     return lib
 
@@ -139,13 +152,21 @@ def run_ekf_baseline(
     prebuild_map: bool = False,
     sigma0: float = 1.0,
     opt: bool = False,
+    gated: bool = False,
+    gate_reject: float = 50.0,
+    gate_augment: float = 1000.0,
+    max_obs: int = 0,
 ) -> BaselineResult:
     """Run the native C++ EKF-SLAM on the given world (row-major (N, 2)).
 
     ``prebuild_map`` starts from a fully-registered map (steady-state
     tracking benchmark) instead of an empty one.  ``opt`` selects the
     SIMD-scheduled update path (the honest single-core CPU bound) instead of
-    the reference-style scalar loops.
+    the reference-style scalar loops.  ``gated`` switches association from
+    the ground-truth id table to defect-fixed Mahalanobis-gated NN
+    (reference EKF.cpp:235-326 with SURVEY defect 4 fixed) with the given
+    gates; ``max_obs`` caps the per-frame measurement buffer (0 = all
+    visible) to mirror the TPU path's fixed-size compact buffer.
     """
     lib = _load()
     lm = np.ascontiguousarray(landmarks, dtype=np.float32)
@@ -158,11 +179,12 @@ def run_ekf_baseline(
         if traj is not None
         else ctypes.POINTER(ctypes.c_float)()
     )
-    steps = lib.run_ekf_baseline_v2(
+    steps = lib.run_ekf_baseline_v3(
         lm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), lm.shape[0],
         wp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), wp.shape[0],
         max_steps, seed, int(with_noise), int(prebuild_map), sigma0,
-        int(opt), ctypes.byref(secs), ctypes.byref(ate), traj_ptr,
+        int(opt), int(gated), gate_reject, gate_augment, max_obs,
+        ctypes.byref(secs), ctypes.byref(ate), traj_ptr,
     )
     secs_v = max(secs.value, 1e-9)
     return BaselineResult(

@@ -380,8 +380,76 @@ struct EkfSlam {
       p = std::move(pn);
       x.push_back(x[0] + r * cs);
       x.push_back(x[1] + r * sn);
-      table[ids[i]] = nf;
+      if (ids[i] >= 0) table[ids[i]] = nf;  // gated path founds without ids
       ++nf;
+    }
+  }
+
+  // Defect-fixed gated NN association (reference EKF::dataAssociate /
+  // computeAssociation, EKF.cpp:235-326 + 131-144; the reference's gated
+  // path never returns new features — SURVEY.md defect 4 — fixed here, and
+  // in conan_slam_tpu/filters/ekf/associate.py with identical semantics):
+  // per measurement x active feature, the EXACT pairwise innovation
+  // covariance S_j = [Hv Hf] [[Pvv, Pvj], [Pjv, Pjj]] [Hv Hf]^T + R from
+  // the pose block, pose-feature strip and feature diagonal block;
+  // nis = v^T S^-1 v, nd = nis + log|S|.  Accept the nd-argmin among
+  // features passing nis < gate1; found a new feature when the min NIS over
+  // all features exceeds gate2.
+  void associate_gated(const std::vector<float>& z, const float re[4],
+                       float gate1, float gate2,
+                       std::vector<float>& zf, std::vector<int>& idf,
+                       std::vector<float>& zn) const {
+    const int m = static_cast<int>(z.size() / 2);
+    const float inf = 3.0e38f;
+    for (int i = 0; i < m; ++i) {
+      const float zr = z[2 * i], zb = z[2 * i + 1];
+      float best_nd = inf, min_nis = inf;
+      int best_j = -1;
+      for (int j = 0; j < nf; ++j) {
+        const int fp = nxv + 2 * j;
+        const float dx = x[fp] - x[0], dy = x[fp + 1] - x[1];
+        const float d2 = dx * dx + dy * dy;
+        if (d2 < 1e-12f) continue;
+        const float dist = std::sqrt(d2);
+        const float hv0 = -dx / dist, hv1 = -dy / dist;             // row 0
+        const float hv3 = dy / d2, hv4 = -dx / d2, hv5 = -1.0f;     // row 1
+        const float hf0 = dx / dist, hf1 = dy / dist;
+        const float hf2 = -dy / d2, hf3 = dx / d2;
+        // a = H [P block columns]: rows of H against the 5 relevant
+        // rows/cols of the symmetric P (pose 0..2 and fp, fp+1).
+        float s00 = re[0], s01 = 0.0f, s11 = re[3];
+        {
+          // t_r[c] = (H row r) . P[:, c] over the 5 active columns c.
+          const int cols[5] = {0, 1, 2, fp, fp + 1};
+          float t0[5], t1[5];
+          for (int cc = 0; cc < 5; ++cc) {
+            const int c = cols[cc];
+            const float p0c = p.at(0, c), p1c = p.at(1, c), p2c = p.at(2, c);
+            const float pf0c = p.at(fp, c), pf1c = p.at(fp + 1, c);
+            t0[cc] = hv0 * p0c + hv1 * p1c + hf0 * pf0c + hf1 * pf1c;
+            t1[cc] = hv3 * p0c + hv4 * p1c + hv5 * p2c + hf2 * pf0c + hf3 * pf1c;
+          }
+          s00 += hv0 * t0[0] + hv1 * t0[1] + hf0 * t0[3] + hf1 * t0[4];
+          s01 += hv3 * t0[0] + hv4 * t0[1] + hv5 * t0[2] + hf2 * t0[3] + hf3 * t0[4];
+          s11 += hv3 * t1[0] + hv4 * t1[1] + hv5 * t1[2] + hf2 * t1[3] + hf3 * t1[4];
+        }
+        const float det = s00 * s11 - s01 * s01;
+        if (det <= 1e-30f) continue;
+        const float v1 = zr - dist;
+        const float v2 = wrap_angle(zb - (std::atan2(dy, dx) - x[2]));
+        const float nis =
+            (s11 * v1 * v1 - 2.0f * s01 * v1 * v2 + s00 * v2 * v2) / det;
+        if (nis < min_nis) min_nis = nis;
+        if (nis < gate1) {
+          const float nd = nis + std::log(det);
+          if (nd < best_nd) { best_nd = nd; best_j = j; }
+        }
+      }
+      if (best_j >= 0) {
+        zf.push_back(zr); zf.push_back(zb); idf.push_back(best_j);
+      } else if (min_nis > gate2) {
+        zn.push_back(zr); zn.push_back(zb);
+      }
     }
   }
 };
@@ -394,10 +462,11 @@ extern "C" {
 // steps executed; writes wall seconds (filter only) and position ATE RMSE.
 // ``opt``: 0 = straightforward scalar loops (the reference-style baseline),
 // 1 = SIMD-scheduled rows (the honest "how fast is this CPU really" bound).
-int64_t run_ekf_baseline_v2(const float* lm_xy, int num_lm, const float* wp_xy,
+int64_t run_ekf_baseline_v3(const float* lm_xy, int num_lm, const float* wp_xy,
                             int num_wp, int max_steps, uint64_t seed,
                             int with_noise, int prebuild_map, float sigma0,
-                            int opt,
+                            int opt, int gated, float gate1, float gate2,
+                            int max_obs,
                             double* out_seconds, float* out_ate,
                             float* out_traj /* may be null, 3*max_steps */) {
   // Reference parameter set (SURVEY.md section 2.4).
@@ -471,21 +540,44 @@ int64_t run_ekf_baseline_v2(const float* lm_xy, int num_lm, const float* wp_xy,
     if ((step + 1) % observe_every == 0) {
       std::vector<float> zf, zn;
       std::vector<int> idf, idn;
-      for (int i = 0; i < num_lm; ++i) {
-        const float dx = lm_xy[2 * i] - xt[0], dy = lm_xy[2 * i + 1] - xt[1];
-        if (std::fabs(dx) >= max_range || std::fabs(dy) >= max_range) continue;
-        if (dx * std::cos(xt[2]) + dy * std::sin(xt[2]) <= 0.0f) continue;
-        if (dx * dx + dy * dy >= max_range * max_range) continue;
-        float zr = std::sqrt(dx * dx + dy * dy);
-        float zb = std::atan2(dy, dx) - xt[2];
-        if (with_noise) {
-          zr += gauss(rng) * sigma_r;
-          zb += gauss(rng) * sigma_b;
+      if (gated) {
+        // Buffer all visible returns (first max_obs in landmark order,
+        // mirroring the TPU path's fixed-size compact buffer), then gate.
+        std::vector<float> z_all;
+        for (int i = 0; i < num_lm; ++i) {
+          const float dx = lm_xy[2 * i] - xt[0], dy = lm_xy[2 * i + 1] - xt[1];
+          if (std::fabs(dx) >= max_range || std::fabs(dy) >= max_range) continue;
+          if (dx * std::cos(xt[2]) + dy * std::sin(xt[2]) <= 0.0f) continue;
+          if (dx * dx + dy * dy >= max_range * max_range) continue;
+          float zr = std::sqrt(dx * dx + dy * dy);
+          float zb = std::atan2(dy, dx) - xt[2];
+          if (with_noise) {
+            zr += gauss(rng) * sigma_r;
+            zb += gauss(rng) * sigma_b;
+          }
+          if (max_obs > 0 &&
+              static_cast<int>(z_all.size() / 2) >= max_obs) break;
+          z_all.push_back(zr); z_all.push_back(zb);
         }
-        if (ekf.table[i] >= 0) {
-          zf.push_back(zr); zf.push_back(zb); idf.push_back(ekf.table[i]);
-        } else {
-          zn.push_back(zr); zn.push_back(zb); idn.push_back(i);
+        ekf.associate_gated(z_all, re, gate1, gate2, zf, idf, zn);
+        idn.assign(zn.size() / 2, -1);
+      } else {
+        for (int i = 0; i < num_lm; ++i) {
+          const float dx = lm_xy[2 * i] - xt[0], dy = lm_xy[2 * i + 1] - xt[1];
+          if (std::fabs(dx) >= max_range || std::fabs(dy) >= max_range) continue;
+          if (dx * std::cos(xt[2]) + dy * std::sin(xt[2]) <= 0.0f) continue;
+          if (dx * dx + dy * dy >= max_range * max_range) continue;
+          float zr = std::sqrt(dx * dx + dy * dy);
+          float zb = std::atan2(dy, dx) - xt[2];
+          if (with_noise) {
+            zr += gauss(rng) * sigma_r;
+            zb += gauss(rng) * sigma_b;
+          }
+          if (ekf.table[i] >= 0) {
+            zf.push_back(zr); zf.push_back(zb); idf.push_back(ekf.table[i]);
+          } else {
+            zn.push_back(zr); zn.push_back(zb); idn.push_back(i);
+          }
         }
       }
       if (opt) ekf.update_opt(zf, idf, re);
@@ -505,6 +597,18 @@ int64_t run_ekf_baseline_v2(const float* lm_xy, int num_lm, const float* wp_xy,
   *out_seconds = std::chrono::duration<double>(t1 - t0).count();
   *out_ate = steps ? static_cast<float>(std::sqrt(err2_sum / steps)) : 0.0f;
   return steps;
+}
+
+int64_t run_ekf_baseline_v2(const float* lm_xy, int num_lm, const float* wp_xy,
+                            int num_wp, int max_steps, uint64_t seed,
+                            int with_noise, int prebuild_map, float sigma0,
+                            int opt,
+                            double* out_seconds, float* out_ate,
+                            float* out_traj) {
+  return run_ekf_baseline_v3(lm_xy, num_lm, wp_xy, num_wp, max_steps, seed,
+                             with_noise, prebuild_map, sigma0, opt,
+                             /*gated=*/0, /*gate1=*/50.0f, /*gate2=*/1000.0f,
+                             /*max_obs=*/0, out_seconds, out_ate, out_traj);
 }
 
 int64_t run_ekf_baseline_ex(const float* lm_xy, int num_lm, const float* wp_xy,
