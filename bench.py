@@ -67,7 +67,11 @@ def bench_tpu(world) -> tuple[float, float]:
 
     from conan_slam_tpu.runner.loop import precompute_rollout
 
-    cfg = SlamConfig(max_landmarks=N_LANDMARKS, max_obs=64)
+    # Full-map steady state: capacity == n_active, so augment is a
+    # guaranteed no-op; compiling it out removes the lax.cond's forced
+    # per-frame P copy (config.enable_augment).
+    cfg = SlamConfig(max_landmarks=N_LANDMARKS, max_obs=64,
+                     enable_augment=False)
     state0 = init_state_with_map(world.landmarks, sigma0=SIGMA0)
     key = jax.random.PRNGKey(SEED)
 

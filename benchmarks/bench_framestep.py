@@ -60,7 +60,8 @@ def main(modes):
         lm = rngw.uniform(-WORLD_EXTENT, WORLD_EXTENT,
                           size=(N_LANDMARKS, 2)).astype(np.float32)
         world = world._replace(landmarks=jnp.asarray(lm))
-    cfg = SlamConfig(max_landmarks=N_LANDMARKS, max_obs=64)
+    cfg = SlamConfig(max_landmarks=N_LANDMARKS, max_obs=64,
+                     enable_augment=False)
     noise = make_noise(cfg, "ekf")
     state0 = ekf_mod.init_state_with_map(world.landmarks, sigma0=SIGMA0)
     key = jax.random.PRNGKey(SEED)
@@ -365,7 +366,7 @@ def main(modes):
         finally:
             ekf_pkg.fused_frame_step = real_fused
 
-    if "body_noaug" in modes or "body_aug" in modes:
+    if any(m.startswith("body_") for m in modes):
         # Hypothesis probe: the augment lax.cond in the driver body forces a
         # copy of the kernel's P output (the untaken identity branch cannot
         # alias).  body_noaug = exact driver body minus the cond; body_aug =
@@ -426,6 +427,58 @@ def main(modes):
             timeit("body_uncond", run_scan(make_body("uncond"), state0,
                                            frames_body),
                    state0, frames_body)
+
+    if any(m.startswith("gbody") for m in modes) or "gating" in modes:
+        # Big-D attribution (FS_LANDMARKS=10240): the REAL gated driver body
+        # (runner.loop.ekf_precomp_frame_step with
+        # switch_association_known=False) on a prebuilt full map, with and
+        # without the augment cond — plus the gating kernel alone.
+        from conan_slam_tpu.runner.loop import ekf_precomp_frame_step
+        from conan_slam_tpu.sim.precompute import rollout_observations
+
+        obs_roll3 = rollout_observations(
+            roll.x_true, np.asarray(world.landmarks), cfg.max_range, nz, interval
+        )
+        frames_g = frames[:4] + (
+            frames[4],
+            jnp.asarray(obs_roll3.z_true),
+            jnp.asarray(obs_roll3.ids),
+            jnp.asarray(obs_roll3.mask),
+            obs_noise[:, :nz, :],
+        )
+
+        def gbody(aug_flag):
+            cfg_g = cfg.replace(switch_association_known=False,
+                                enable_augment=aug_flag)
+
+            def body(state, frame):
+                return ekf_precomp_frame_step(state, frame, cfg=cfg_g,
+                                              world=world, noise=noise)
+            return body
+
+        if "gbody_aug" in modes:
+            timeit("gbody_aug", run_scan(gbody(True), state0, frames_g),
+                   state0, frames_g)
+        if "gbody_noaug" in modes:
+            timeit("gbody_noaug", run_scan(gbody(False), state0, frames_g),
+                   state0, frames_g)
+        if "gating" in modes:
+            def gating_step(state, frame):
+                x_true_f, vns, swans, active_f, done_f, obs_noise_f = \
+                    frame_inputs(frame[:5] + (frame[8],))
+                z = frame[5] + obs_noise_f * jnp.asarray(
+                    [cfg.sigma_r, cfg.sigma_b], jnp.float32)
+                from conan_slam_tpu.filters.common import CompactObs
+                obs = CompactObs(z=jnp.where(frame[7][:, None], z, 0.0),
+                                 ids=frame[6], mask=frame[7])
+                assoc = ekf_mod.associate_gated(
+                    state, obs, noise.re, cfg.gate_reject, cfg.gate_augment,
+                )
+                x = state.x.at[0].add(1e-20 * jnp.sum(assoc.slots))
+                return state._replace(x=x), x[0]
+
+            timeit("gating", run_scan(gating_step, state0, frames_g),
+                   state0, frames_g)
 
     if "assoc" in modes:
         def assoc_step(state, frame):

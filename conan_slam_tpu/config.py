@@ -107,6 +107,14 @@ class SlamConfig:
     # 4/8 (the apparent per-iteration overhead is per-dispatch RPC latency,
     # not scan overhead), so default 1; kept as a tuning knob.
     scan_unroll: int = 1
+    # Compile the new-feature augmentation branch into the frame step.
+    # Set False for steady-state full-map workloads (n_active == capacity),
+    # where augment is mathematically a guaranteed no-op (every candidate
+    # slot >= capacity is dropped) — the lax.cond around it still forces a
+    # full copy of the kernel's P output every frame (measured 39 us/frame
+    # at D=2304, ~2 ms at the 10k-landmark shape), which this switch
+    # removes at trace time.
+    enable_augment: bool = True
 
     @property
     def num_effective(self) -> float:

@@ -53,18 +53,52 @@ import os as _os
 _FK_VMEM_BUDGET = int(_os.environ.get("FK_VMEM_BUDGET_MB", "14")) * 2**20
 
 # Precision of the O(D^2) panel rank-update matmuls (wsi / down).  Mosaic
-# lowers exactly two tiers: HIGHEST (#tpu.contract_precision<fp32>) and
-# DEFAULT (native bf16 MXU passes, fp32 accumulate); there is no bf16x3
-# middle tier.  MEASURED NEGATIVE RESULT (round 3): DEFAULT on just these
-# two matmuls gives relP = 1.3e-2 against the fp32 reference at the bench
-# shape — bf16 operand rounding is too coarse for the covariance downdate
-# (the round-2 divergence lesson held even with symmetric factors), so the
-# product default stays HIGHEST and the P pass is fp32-contract-bound.
-# Debug knob only; fixed at import like the VMEM budget.
+# lowers exactly two dot tiers: HIGHEST (#tpu.contract_precision<fp32>) and
+# DEFAULT (native bf16 MXU passes, fp32 accumulate); there is no built-in
+# bf16x3 middle tier.  MEASURED NEGATIVE RESULT (round 3): DEFAULT on just
+# these two matmuls gives relP = 1.3e-2 against the fp32 reference at the
+# bench shape — bf16 operand rounding is too coarse for the covariance
+# downdate (the round-2 divergence lesson held even with symmetric factors),
+# so raw DEFAULT stays a debug knob.  "split4" (the PRODUCT DEFAULT since
+# round 4) constructs the middle tier by hand: each operand splits into
+# bf16 hi + bf16 lo (hi + lo carries ~16 mantissa bits of the fp32 value)
+# and the product runs as FOUR DEFAULT passes hi.hi + hi.lo + lo.hi + lo.lo
+# — representation error ~2^-16 relative with NO dropped cross term
+# (dropping lo.lo, the classic 3-pass split, breaks the downdate's
+# symmetric structure).  Validated: full smoke gate incl. the 9600-step ate
+# stage passes at ATE 0.0302 m / asym(P) 4.5e-6 (vs bound 0.05 / 1e-4);
+# measured -28 us/frame on the bare P pass and -14 us on the fused frame at
+# the bench shape vs HIGHEST.  Fixed at import like the VMEM budget.
+_PANEL_MODE = _os.environ.get("FK_PANEL_PRECISION", "split4")
 _PANEL_PRECISION = {
     "default": jax.lax.Precision.DEFAULT,
     "highest": jax.lax.Precision.HIGHEST,
-}[_os.environ.get("FK_PANEL_PRECISION", "highest")]
+    "split3": jax.lax.Precision.DEFAULT,
+    "split4": jax.lax.Precision.DEFAULT,
+}[_PANEL_MODE]
+
+
+def panel_dot(a, b, dimension_numbers):
+    """One big panel matmul at the configured panel-precision tier
+    (see ``_PANEL_MODE``); always fp32 accumulation."""
+
+    def dot(x, y, prec):
+        return jax.lax.dot_general(
+            x, y, dimension_numbers=dimension_numbers,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+
+    if _PANEL_MODE in ("split3", "split4"):
+        ah = a.astype(jnp.bfloat16)
+        al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+        bh = b.astype(jnp.bfloat16)
+        bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+        prec = jax.lax.Precision.DEFAULT
+        out = dot(ah, bh, prec) + dot(ah, bl, prec) + dot(al, bh, prec)
+        if _PANEL_MODE == "split4":
+            out = out + dot(al, bl, prec)
+        return out
+    return dot(a, b, _PANEL_PRECISION)
 
 
 def _round_up(n: int, m: int) -> int:
@@ -368,20 +402,17 @@ def _fullframe_kernel(zin_ref, rsc_ref, nblk_ref, x_ref, xrows_ref, prows_ref,
         xn_ref[:, :] = jnp.where(laned == 2, _wrap(xn), xn)
         nis_ref[0, 0] = jnp.sum(siv * v2)
 
-    wsi = jax.lax.dot_general(
+    wsi = panel_dot(
         phtt_scr[pl.ds(i * tr, tr), :], si_scr[:, :],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32, precision=_PANEL_PRECISION,
+        (((1,), (0,)), ((), ())),
     )                                                       # (tr, MP)
-    vbv = jax.lax.dot_general(
+    vbv = panel_dot(
         vtfp_ref[:, :].T, bvt_scr[:, :],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32, precision=_PANEL_PRECISION,
+        (((1,), (0,)), ((), ())),
     )                                                       # (tr, D)
-    down = jax.lax.dot_general(
+    down = panel_dot(
         wsi, phtt_scr[:, :],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=f32, precision=_PANEL_PRECISION,
+        (((1,), (1,)), ((), ())),
     )
     out_ref[:, :] = p_ref[:, :] + vbv - down
 
@@ -745,15 +776,13 @@ def _framestep_kernel(subs_ref, qc_ref, zin_ref, rsc_ref, nblk_ref,
         xn_ref[:, :] = jnp.where(laned == 2, _wrap(xn), xn)
         nis_ref[0, 0] = jnp.sum(siv * v2)
 
-    wsi = jax.lax.dot_general(
+    wsi = panel_dot(
         phtt_scr[pl.ds(i * tr, tr), :], si_scr[:, :],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_PANEL_PRECISION,
+        (((1,), (0,)), ((), ())),
     )                                                       # (tr, MP)
-    down = jax.lax.dot_general(
+    down = panel_dot(
         wsi, phtt_scr[:, :],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_PANEL_PRECISION,
+        (((1,), (1,)), ((), ())),
     )                                                       # (tr, D)
     p2p = p2c_scr[pl.ds(i * tr, tr), :]                     # (tr, 1)
     out_ref[:, :] = p_ref[:, :] + p2p * fr_scr[0:1, :] - down

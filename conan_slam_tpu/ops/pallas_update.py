@@ -88,12 +88,11 @@ def rank_update_t(p, vt, b, *, interpret: bool = False):
         # default HIGHEST = fp32 contract — DEFAULT is a measured correctness
         # failure and no bf16x3 tier exists on Mosaic, see frame_kernel.py);
         # the small B Vt prep above always stays HIGHEST.
-        from conan_slam_tpu.ops.frame_kernel import _PANEL_PRECISION
+        from conan_slam_tpu.ops.frame_kernel import panel_dot
 
-        out_ref[:, :] = p_ref[:, :] + jax.lax.dot_general(
+        out_ref[:, :] = p_ref[:, :] + panel_dot(
             vt_ref[:, :], vbt_ref[:, :],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_PANEL_PRECISION,
+            (((0,), (0,)), ((), ())),
         )
 
     if d % 128 == 0:

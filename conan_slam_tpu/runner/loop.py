@@ -200,13 +200,14 @@ def ekf_precomp_frame_step(state, frame, *, cfg: SlamConfig, world: World, noise
             jnp.logical_and(assoc.known_mask, live), noise.re,
             return_nis=True, vtf=vtf,
         )
-    new_mask = jnp.logical_and(assoc.new_mask, live)
-    state = jax.lax.cond(
-        jnp.any(new_mask),
-        lambda s: ekf_mod.augment(s, obs, new_mask, noise.re),
-        lambda s: s,
-        state,
-    )
+    if cfg.enable_augment:
+        new_mask = jnp.logical_and(assoc.new_mask, live)
+        state = jax.lax.cond(
+            jnp.any(new_mask),
+            lambda s: ekf_mod.augment(s, obs, new_mask, noise.re),
+            lambda s: s,
+            state,
+        )
 
     interval = x_true_f.shape[0]
     outs = SimOutputs(
@@ -620,13 +621,14 @@ def ekf_frame_step(carry: EKFSimCarry, _, *, cfg: SlamConfig, world: World, nois
                 jnp.logical_and(assoc.known_mask, live), noise.re,
                 return_nis=True, vtf=vtf,
             )
-        new_mask = jnp.logical_and(assoc.new_mask, live)
-        state = jax.lax.cond(
-            jnp.any(new_mask),
-            lambda s: ekf_mod.augment(s, obs, new_mask, noise.re),
-            lambda s: s,
-            state,
-        )
+        if cfg.enable_augment:
+            new_mask = jnp.logical_and(assoc.new_mask, live)
+            state = jax.lax.cond(
+                jnp.any(new_mask),
+                lambda s: ekf_mod.augment(s, obs, new_mask, noise.re),
+                lambda s: s,
+                state,
+            )
     else:
         def obs_branch(state):
             obs_full = sensor_sim.get_observations(x_true, world.landmarks, cfg.max_range)

@@ -154,6 +154,29 @@ def test_batch_update_matches_dense_reference_math():
     np.testing.assert_allclose(out.p, p0 - w @ s @ w.T, rtol=1e-2, atol=1e-3)
 
 
+def test_enable_augment_off_is_noop_at_full_capacity():
+    """config.enable_augment=False (compile out the augment branch) must be
+    bit-identical on a full-map steady-state run — augment at capacity drops
+    every candidate slot, so the branch is a guaranteed no-op there."""
+    from conan_slam_tpu.config import SlamConfig
+    from conan_slam_tpu.filters.ekf import init_state_with_map
+    from conan_slam_tpu.runner.loop import run_ekf_slam
+    from conan_slam_tpu.sim.world import default_world
+
+    world = default_world()
+    state0 = init_state_with_map(world.landmarks, sigma0=1.0)
+    outs = {}
+    for flag in (True, False):
+        cfg = SlamConfig(max_landmarks=world.num_landmarks,
+                         enable_augment=flag)
+        carry, o = run_ekf_slam(
+            world, cfg, jax.random.PRNGKey(5), n_steps=600, init_state=state0
+        )
+        outs[flag] = (np.asarray(carry.state.x), np.asarray(o.x_est))
+    np.testing.assert_array_equal(outs[True][0], outs[False][0])
+    np.testing.assert_array_equal(outs[True][1], outs[False][1])
+
+
 def _sequential_oracle(x0, p0, z_list, slot_list, r, dtype=np.float64):
     """Dense per-measurement NumPy reference of ``sequential_update``:
     for each measurement IN BUFFER ORDER, re-derive the observation model at
