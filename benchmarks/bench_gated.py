@@ -59,6 +59,10 @@ def main(steps: int = 25_000):
     # frames run ms each; one 25k-step program at 10k landmarks would exceed
     # the remote backend's per-execution window).
     chunk = int(os.environ.get("GATED_CHUNK", "0"))
+    # GATED_CKPT_DIR turns on per-chunk checkpoint/resume (utils.checkpoint
+    # via the chunked driver) — a killed run restarted with the same env
+    # resumes from the last complete chunk bit-identically.
+    ckpt_dir = os.environ.get("GATED_CKPT_DIR") or None
     roll = precompute_rollout(world, cfg, steps)   # seed-independent workload
 
     log(f"devices: {jax.devices()}")
@@ -67,7 +71,7 @@ def main(steps: int = 25_000):
     if chunk:
         state, outs = run_ekf_slam_precomputed_chunked(
             world, cfg, key, n_steps=steps, chunk_steps=chunk,
-            precomputed=roll,
+            precomputed=roll, checkpoint_dir=ckpt_dir,
         )
     else:
         state, outs = run_ekf_slam_precomputed(

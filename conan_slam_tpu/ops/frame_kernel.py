@@ -89,16 +89,39 @@ def panel_dot(a, b, dimension_numbers):
         )
 
     if _PANEL_MODE in ("split3", "split4"):
-        ah = a.astype(jnp.bfloat16)
-        al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
-        bh = b.astype(jnp.bfloat16)
-        bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
-        prec = jax.lax.Precision.DEFAULT
-        out = dot(ah, bh, prec) + dot(ah, bl, prec) + dot(al, bh, prec)
-        if _PANEL_MODE == "split4":
-            out = out + dot(al, bl, prec)
-        return out
+        ah, al = split_hi_lo(a)
+        bh, bl = split_hi_lo(b)
+        return panel_dot_split(ah, al, bh, bl, dimension_numbers)
     return dot(a, b, _PANEL_PRECISION)
+
+
+def panel_split_enabled() -> bool:
+    """Whether the panel tier is a bf16 hi/lo split (callers may pre-split
+    loop-invariant operands once instead of per panel)."""
+    return _PANEL_MODE in ("split3", "split4")
+
+
+def split_hi_lo(a):
+    """bf16 hi/lo decomposition: hi + lo carries ~16 mantissa bits of a."""
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    return ah, al
+
+
+def panel_dot_split(ah, al, bh, bl, dimension_numbers):
+    """The split-tier product from pre-split operands (see ``panel_dot``)."""
+
+    def dot(x, y):
+        return jax.lax.dot_general(
+            x, y, dimension_numbers=dimension_numbers,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+
+    out = dot(ah, bh) + dot(ah, bl) + dot(al, bh)
+    if _PANEL_MODE != "split3":
+        out = out + dot(al, bl)
+    return out
 
 
 def _round_up(n: int, m: int) -> int:
@@ -591,8 +614,7 @@ class FrameStep(NamedTuple):
 def _framestep_kernel(subs_ref, qc_ref, zin_ref, rsc_ref, nblk_ref,
                       x0_ref, x0rows_ref, prows_ref, prc_ref, p_ref,
                       out_ref, xn_ref, pt_ref, nis_ref,
-                      phtt_scr, si_scr, fr_scr, p2c_scr, s_scr,
-                      *, tr, s_steps, wheel_base, dt, sigma_heading,
+                      *scr, tr, s_steps, wheel_base, dt, sigma_heading,
                       use_heading):
     """Whole-frame kernel body; see ``frame_step``.
 
@@ -616,6 +638,15 @@ def _framestep_kernel(subs_ref, qc_ref, zin_ref, rsc_ref, nblk_ref,
     f32 = jnp.float32
     i = pl.program_id(0)
     d = x0_ref.shape[1]
+    # Under the split panel tier the persisted panel operands are bf16 hi/lo
+    # pairs written ONCE in grid step 0 (no per-panel conversion of the
+    # loop-invariant (D, MP) strip — measured as a double-digit us/frame
+    # VPU tax when split per panel); the fp32 tier keeps single scratches.
+    split = panel_split_enabled()
+    if split:
+        phtth_scr, phttl_scr, sih_scr, sil_scr, fr_scr, p2c_scr, s_scr = scr
+    else:
+        phtt_scr, si_scr, fr_scr, p2c_scr, s_scr = scr
 
     @pl.when(i == 0)
     def _chain():
@@ -726,7 +757,13 @@ def _framestep_kernel(subs_ref, qc_ref, zin_ref, rsc_ref, nblk_ref,
                 preferred_element_type=f32, precision=PRECISION,
             )
         )                                                   # (MP, D)
-        phtt_scr[:, :] = pht.T
+        phtT = pht.T
+        if split:
+            hi, lo = split_hi_lo(phtT)
+            phtth_scr[:, :] = hi
+            phttl_scr[:, :] = lo
+        else:
+            phtt_scr[:, :] = phtT
         psub = (
             jax.lax.dot_general(
                 hc, prc_ref[:, :],
@@ -745,7 +782,12 @@ def _framestep_kernel(subs_ref, qc_ref, zin_ref, rsc_ref, nblk_ref,
             preferred_element_type=f32, precision=PRECISION,
         ) + rmat
         si = _sweep_si(s, s_scr, nblk=nblk_ref[0])
-        si_scr[:, :] = si
+        if split:
+            sih, sil = split_hi_lo(si)
+            sih_scr[:, :] = sih
+            sil_scr[:, :] = sil
+        else:
+            si_scr[:, :] = si
         siv = jax.lax.dot_general(
             v2, si, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f32, precision=PRECISION,
@@ -776,14 +818,25 @@ def _framestep_kernel(subs_ref, qc_ref, zin_ref, rsc_ref, nblk_ref,
         xn_ref[:, :] = jnp.where(laned == 2, _wrap(xn), xn)
         nis_ref[0, 0] = jnp.sum(siv * v2)
 
-    wsi = panel_dot(
-        phtt_scr[pl.ds(i * tr, tr), :], si_scr[:, :],
-        (((1,), (0,)), ((), ())),
-    )                                                       # (tr, MP)
-    down = panel_dot(
-        wsi, phtt_scr[:, :],
-        (((1,), (1,)), ((), ())),
-    )                                                       # (tr, D)
+    if split:
+        ph = phtth_scr[pl.ds(i * tr, tr), :]
+        plo = phttl_scr[pl.ds(i * tr, tr), :]
+        wsi = panel_dot_split(
+            ph, plo, sih_scr[:, :], sil_scr[:, :], (((1,), (0,)), ((), ()))
+        )                                                   # (tr, MP)
+        wh, wl = split_hi_lo(wsi)
+        down = panel_dot_split(
+            wh, wl, phtth_scr[:, :], phttl_scr[:, :], (((1,), (1,)), ((), ()))
+        )                                                   # (tr, D)
+    else:
+        wsi = panel_dot(
+            phtt_scr[pl.ds(i * tr, tr), :], si_scr[:, :],
+            (((1,), (0,)), ((), ())),
+        )                                                   # (tr, MP)
+        down = panel_dot(
+            wsi, phtt_scr[:, :],
+            (((1,), (1,)), ((), ())),
+        )                                                   # (tr, D)
     p2p = p2c_scr[pl.ds(i * tr, tr), :]                     # (tr, 1)
     out_ref[:, :] = p_ref[:, :] + p2p * fr_scr[0:1, :] - down
 
@@ -1241,13 +1294,26 @@ def frame_step(p, x, rows, vns, swans, phis, actives, q_cov,
             pl.BlockSpec((s_steps, 3), bcast, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), bcast, memory_space=pltpu.SMEM),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((d, mp), f32),            # phtT
-            pltpu.VMEM((mp, mp), f32),           # S^-1
-            pltpu.VMEM((16, d), f32),            # wrow + border rows
-            pltpu.VMEM((d, 1), f32),             # p2 column
-            pltpu.VMEM((mp, mp), f32),           # sweep scratch
-        ],
+        scratch_shapes=(
+            (
+                [
+                    pltpu.VMEM((d, mp), jnp.bfloat16),   # phtT hi
+                    pltpu.VMEM((d, mp), jnp.bfloat16),   # phtT lo
+                    pltpu.VMEM((mp, mp), jnp.bfloat16),  # S^-1 hi
+                    pltpu.VMEM((mp, mp), jnp.bfloat16),  # S^-1 lo
+                ]
+                if panel_split_enabled()
+                else [
+                    pltpu.VMEM((d, mp), f32),            # phtT
+                    pltpu.VMEM((mp, mp), f32),           # S^-1
+                ]
+            )
+            + [
+                pltpu.VMEM((16, d), f32),            # wrow + border rows
+                pltpu.VMEM((d, 1), f32),             # p2 column
+                pltpu.VMEM((mp, mp), f32),           # sweep scratch
+            ]
+        ),
         cost_estimate=cost,
         interpret=interpret,
     )(subs, qc, zin, rsc, nblk, x_row, x0rows, prows, prc, p)

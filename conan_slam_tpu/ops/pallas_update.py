@@ -69,6 +69,13 @@ def rank_update_t(p, vt, b, *, interpret: bool = False):
     if not interpret and jax.default_backend() not in ("tpu", "axon"):
         return rank_update_t_reference(p, vt, b)
 
+    from conan_slam_tpu.ops.frame_kernel import (
+        panel_dot,
+        panel_dot_split,
+        panel_split_enabled,
+        split_hi_lo,
+    )
+
     d = p.shape[0]
     vbt = jnp.matmul(b, vt, precision=PRECISION)            # (r, D)
     rm = _round_up(vt.shape[0], 8)
@@ -83,24 +90,48 @@ def rank_update_t(p, vt, b, *, interpret: bool = False):
         transcendentals=0,
     )
 
-    def kernel(p_ref, vt_ref, vbt_ref, out_ref):
-        # Panel precision shares the frame kernels' knob (_PANEL_PRECISION,
-        # default HIGHEST = fp32 contract — DEFAULT is a measured correctness
-        # failure and no bf16x3 tier exists on Mosaic, see frame_kernel.py);
-        # the small B Vt prep above always stays HIGHEST.
-        from conan_slam_tpu.ops.frame_kernel import panel_dot
+    # Panel precision shares the frame kernels' tier knob (frame_kernel.py:
+    # split4 product default, fp32-contract HIGHEST fallback); the small
+    # B Vt prep above always stays HIGHEST.  Under the split tier the hi/lo
+    # decomposition happens ONCE here (XLA level) and the kernel consumes
+    # four bf16 strips — no per-panel conversion of loop-invariant operands,
+    # and half the strip DMA.
+    split = panel_split_enabled()
+    if split:
+        vt_h, vt_l = split_hi_lo(vt)
+        vbt_h, vbt_l = split_hi_lo(vbt)
+        strips = (vt_h, vt_l, vbt_h, vbt_l)
 
-        out_ref[:, :] = p_ref[:, :] + panel_dot(
-            vt_ref[:, :], vbt_ref[:, :],
-            (((0,), (0,)), ((), ())),
-        )
+        def kernel(p_ref, vth_ref, vtl_ref, vbh_ref, vbl_ref, out_ref):
+            out_ref[:, :] = p_ref[:, :] + panel_dot_split(
+                vth_ref[:, :], vtl_ref[:, :], vbh_ref[:, :], vbl_ref[:, :],
+                (((0,), (0,)), ((), ())),
+            )
+    else:
+        strips = (vt, vbt)
+
+        def kernel(p_ref, vt_ref, vbt_ref, out_ref):
+            out_ref[:, :] = p_ref[:, :] + panel_dot(
+                vt_ref[:, :], vbt_ref[:, :],
+                (((0,), (0,)), ((), ())),
+            )
+
+    n_strips = len(strips)
+    sbytes = 2 if split else 4
+
+    def strip_specs(row_blk, col_blk, row_map, col_map):
+        row_spec = pl.BlockSpec((rm, row_blk), row_map, memory_space=pltpu.VMEM)
+        col_spec = pl.BlockSpec((rm, col_blk), col_map, memory_space=pltpu.VMEM)
+        if split:
+            return [row_spec, row_spec, col_spec, col_spec]
+        return [row_spec, col_spec]
 
     if d % 128 == 0:
         budget = 12 * 2**20
         for tr in (512, 256, 128):
             if d % tr:
                 continue
-            need = (4 * tr * d + tr * rm + rm * d) * 4
+            need = (4 * tr * d) * 4 + (tr + d) * rm * sbytes * (n_strips // 2)
             if need <= budget:
                 return pl.pallas_call(
                     kernel,
@@ -108,32 +139,40 @@ def rank_update_t(p, vt, b, *, interpret: bool = False):
                     grid=(d // tr,),
                     in_specs=[
                         pl.BlockSpec((tr, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                        pl.BlockSpec((rm, tr), lambda i: (0, i), memory_space=pltpu.VMEM),
-                        pl.BlockSpec((rm, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                    ],
+                    ] + strip_specs(tr, d, lambda i: (0, i), lambda i: (0, 0)),
                     out_specs=pl.BlockSpec(
                         (tr, d), lambda i: (i, 0), memory_space=pltpu.VMEM
                     ),
                     cost_estimate=cost,
                     interpret=interpret,
-                )(p, vt, vbt)
+                )(p, *strips)
 
-    t = _pick_tile(d)
-    if t == 0:
-        t = 256
+    # Big-D 2-D schedule: row panels x WIDE column blocks (cdiv grid, ragged
+    # edges masked by Pallas).  The old square (256, 256) tiling ran 6,241
+    # grid steps at D=20224 with the (rm, 256) strip blocks re-fetched per
+    # tile — per-step overhead dominated (measured 13.0 ms/frame vs the
+    # ~2.2 ms one-read-one-write HBM floor of the 1.64 GB covariance).
+    # Wide blocks cut the step count ~8x and the strip re-reads with it.
+    t = 256
+    budget = 12 * 2**20
+    tc = 256
+    for cand in (4096, 2048, 1024, 512, 256):
+        if 4 * t * cand * 4 + 2 * rm * (t + cand) * sbytes * (
+            n_strips // 2
+        ) <= budget:
+            tc = cand
+            break
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((d, d), p.dtype),
-        grid=(pl.cdiv(d, t), pl.cdiv(d, t)),
+        grid=(pl.cdiv(d, t), pl.cdiv(d, tc)),
         in_specs=[
-            pl.BlockSpec((t, t), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rm, t), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rm, t), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((t, t), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, tc), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ] + strip_specs(t, tc, lambda i, j: (0, i), lambda i, j: (0, j)),
+        out_specs=pl.BlockSpec((t, tc), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         cost_estimate=cost,
         interpret=interpret,
-    )(p, vt, vbt)
+    )(p, *strips)
 
 
 def rank_update_t2_reference(p, vt1, vbt1, vt2, vbt2):

@@ -493,9 +493,85 @@ def pf_sim_step(carry: PFSimCarry, _, *, cfg: SlamConfig, world: World, noise: N
     return PFSimCarry(steer=st, x_true=x_true, ens=ens, step_in_frame=step_in_frame, key=key), out
 
 
+def pf_frame_step(carry: PFSimCarry, _, *, cfg: SlamConfig, world: World, noise: NoiseCovs):
+    """One observation frame of the PF: ``observe_interval`` predict+heading
+    sub-steps traced inline, then ONE observation block.
+
+    Same frame-batching lesson as ``ekf_frame_step``: the per-control-step
+    scan paid its ``lax.cond`` barriers and dispatch overhead 6x per
+    observation; per-particle throughput is latency-bound (the op chain),
+    not VPU/HBM-bound, so cutting the serial chain per frame is the lever.
+    The predict/heading sub-steps touch only pose/pose_cov, so the done-
+    freeze selects just those leaves (the map leaves pass through
+    untouched).  Statistically identical workload (the reference fires the
+    observation every 6th control step, test/main.cpp:249-290); the noise
+    realisation differs from the per-step driver like a different seed does.
+    """
+    interval = cfg.observe_interval
+    key, k_obs, k_step = jax.random.split(carry.key, 3)
+    steer_state, x_true, ens = carry.steer, carry.x_true, carry.ens
+    sub_outs = []
+    for k in range(interval):
+        was_done = steer_state.done
+        k_ctrl = jax.random.fold_in(key, k)
+        steer_state, x_true, vn, swan = _advance_truth(
+            steer_state, x_true, world, cfg, k_ctrl
+        )
+        new_ens = pf_mod.predict(ens, vn, swan, noise.qe, cfg.wheel_base, cfg.dt_controls)
+        if cfg.switch_heading_known:
+            new_ens = pf_mod.observe_heading(new_ens, x_true[2], cfg.sigma_heading)
+        ens = ens._replace(
+            pose=jnp.where(was_done, ens.pose, new_ens.pose),
+            pose_cov=jnp.where(was_done, ens.pose_cov, new_ens.pose_cov),
+        )
+        sub_outs.append(
+            SimOutputs(
+                x_true=x_true, x_est=pf_mod.mean_pose(ens),
+                done=steer_state.done, n_active=ens.n_active,
+                consistency=jnp.float32(0.0),
+            )
+        )
+
+    nz = min(world.num_landmarks, cfg.max_observations())
+
+    def obs_branch(ens):
+        obs_full = sensor_sim.get_observations(x_true, world.landmarks, cfg.max_range)
+        obs_full = sensor_sim.add_observation_noise(
+            k_obs, obs_full, cfg.sigma_r, cfg.sigma_b, cfg.switch_sensor_noise
+        )
+        obs = compact(obs_full, nz)
+        return pf_mod.observation_step(
+            ens, obs, noise.re, k_step,
+            num_effective=cfg.num_effective,
+            sample_proposal_on=cfg.switch_sample_proposal,
+            resample_on=cfg.switch_resample,
+            proposal_relinearize=cfg.proposal_relinearize,
+            resample_kind=cfg.pf_resample_kind,
+            roughening=cfg.pf_roughening,
+        )
+
+    ens = jax.lax.cond(
+        jnp.logical_not(steer_state.done), obs_branch, lambda e: e, ens
+    )
+    sub_outs[-1] = sub_outs[-1]._replace(
+        x_est=pf_mod.mean_pose(ens), n_active=ens.n_active,
+        consistency=pf_mod.effective_count(pf_mod.normalized_weights(ens)),
+    )
+    outs = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *sub_outs)
+    new_carry = PFSimCarry(
+        steer=steer_state, x_true=x_true, ens=ens,
+        step_in_frame=jnp.int32(0), key=key,
+    )
+    return new_carry, outs
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "n_steps"))
 def run_pf_slam(world: World, cfg: SlamConfig, key: jax.Array, n_steps: int = 25_000):
-    """Full FastSLAM 2.0 valet-loop simulation (reference test/main.cpp:204-335)."""
+    """Full FastSLAM 2.0 valet-loop simulation (reference test/main.cpp:204-335).
+
+    With ``cfg.fast_frame`` (the default) the scan runs over observation
+    frames (``pf_frame_step``); ``fast_frame=False`` keeps the per-control-
+    step scan (``pf_sim_step``)."""
     noise = make_noise(cfg, "pf")
     carry = PFSimCarry(
         steer=init_steer_state(cfg.number_loops),
@@ -504,6 +580,19 @@ def run_pf_slam(world: World, cfg: SlamConfig, key: jax.Array, n_steps: int = 25
         step_in_frame=jnp.int32(0),
         key=key,
     )
+    if cfg.fast_frame:
+        interval = cfg.observe_interval
+        n_frames = (n_steps + interval - 1) // interval
+        step = functools.partial(pf_frame_step, cfg=cfg, world=world, noise=noise)
+        with jax.default_matmul_precision("highest"):
+            carry, outs = jax.lax.scan(
+                step, carry, None, length=n_frames,
+                unroll=min(cfg.scan_unroll, n_frames),
+            )
+        outs = jax.tree_util.tree_map(
+            lambda x: x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:]), outs
+        )
+        return carry, outs
     step = functools.partial(pf_sim_step, cfg=cfg, world=world, noise=noise)
     with jax.default_matmul_precision("highest"):
         return jax.lax.scan(
