@@ -226,7 +226,7 @@ def main(modes):
         timeit("factors", run_scan(factors_step, state0, frames), state0, frames)
 
     if "ppass" in modes:
-        r = 152   # ~the fused frame's rank (MP + frame factors)
+        r = int(os.environ.get("FS_RANK", "152"))  # fused-frame rank (MP + factors)
         vt = jnp.asarray(rng.normal(size=(r, d)).astype(np.float32) * 1e-4)
         bmat = jnp.eye(r, dtype=jnp.float32) * 1e-6
         dummy = jnp.zeros((n_frames,), jnp.float32)

@@ -70,17 +70,31 @@ _FK_VMEM_BUDGET = int(_os.environ.get("FK_VMEM_BUDGET_MB", "14")) * 2**20
 # measured -28 us/frame on the bare P pass and -14 us on the fused frame at
 # the bench shape vs HIGHEST.  Fixed at import like the VMEM budget.
 _PANEL_MODE = _os.environ.get("FK_PANEL_PRECISION", "split4")
-_PANEL_PRECISION = {
+# MEASURED NEGATIVE RESULT (round 4): the split tier is ONLY safe where a
+# long-horizon gate validates the exact consumer.  The known-association
+# frame kernel passes the 9600-step ate stage at split4 (asym 4.5e-6), but
+# running split4 in the GATED-path kernels (_fullframe_kernel /
+# rank_update_t) broke config-2 end to end (ATE 0.152 -> 11.4 m, 274/500
+# mapped): the split truncates the wsi intermediate to ~2^-17 with an
+# asymmetric error, and data ASSOCIATION is a far more sensitive consumer
+# of P than the known-association update — slightly-off NIS flips
+# associations and the map corrupts.  Those kernels therefore default to
+# the fp32 contract; FK_PANEL_PRECISION_SAFE overrides for experiments.
+_SAFE_MODE = _os.environ.get("FK_PANEL_PRECISION_SAFE", "highest")
+_PREC_BY_MODE = {
     "default": jax.lax.Precision.DEFAULT,
     "highest": jax.lax.Precision.HIGHEST,
     "split3": jax.lax.Precision.DEFAULT,
     "split4": jax.lax.Precision.DEFAULT,
-}[_PANEL_MODE]
+}
+_PANEL_PRECISION = _PREC_BY_MODE[_PANEL_MODE]
 
 
-def panel_dot(a, b, dimension_numbers):
-    """One big panel matmul at the configured panel-precision tier
-    (see ``_PANEL_MODE``); always fp32 accumulation."""
+def panel_dot(a, b, dimension_numbers, mode=None):
+    """One big panel matmul at the given panel-precision tier (defaults to
+    the SAFE tier; the fast tier must be opted into by gate-validated
+    consumers); always fp32 accumulation."""
+    mode = _SAFE_MODE if mode is None else mode
 
     def dot(x, y, prec):
         return jax.lax.dot_general(
@@ -88,17 +102,18 @@ def panel_dot(a, b, dimension_numbers):
             preferred_element_type=jnp.float32, precision=prec,
         )
 
-    if _PANEL_MODE in ("split3", "split4"):
+    if mode in ("split3", "split4"):
         ah, al = split_hi_lo(a)
         bh, bl = split_hi_lo(b)
         return panel_dot_split(ah, al, bh, bl, dimension_numbers)
-    return dot(a, b, _PANEL_PRECISION)
+    return dot(a, b, _PREC_BY_MODE[mode])
 
 
-def panel_split_enabled() -> bool:
-    """Whether the panel tier is a bf16 hi/lo split (callers may pre-split
+def panel_split_enabled(mode=None) -> bool:
+    """Whether the given tier is a bf16 hi/lo split (callers may pre-split
     loop-invariant operands once instead of per panel)."""
-    return _PANEL_MODE in ("split3", "split4")
+    mode = _SAFE_MODE if mode is None else mode
+    return mode in ("split3", "split4")
 
 
 def split_hi_lo(a):
@@ -640,9 +655,10 @@ def _framestep_kernel(subs_ref, qc_ref, zin_ref, rsc_ref, nblk_ref,
     d = x0_ref.shape[1]
     # Under the split panel tier the persisted panel operands are bf16 hi/lo
     # pairs written ONCE in grid step 0 (no per-panel conversion of the
-    # loop-invariant (D, MP) strip — measured as a double-digit us/frame
-    # VPU tax when split per panel); the fp32 tier keeps single scratches.
-    split = panel_split_enabled()
+    # loop-invariant (D, MP) strip); the fp32 tier keeps single scratches.
+    # This kernel (known association only) is the ONE consumer validated for
+    # the fast tier by the long-horizon ate gate — see _PANEL_MODE notes.
+    split = panel_split_enabled(_PANEL_MODE)
     if split:
         phtth_scr, phttl_scr, sih_scr, sil_scr, fr_scr, p2c_scr, s_scr = scr
     else:
@@ -831,11 +847,11 @@ def _framestep_kernel(subs_ref, qc_ref, zin_ref, rsc_ref, nblk_ref,
     else:
         wsi = panel_dot(
             phtt_scr[pl.ds(i * tr, tr), :], si_scr[:, :],
-            (((1,), (0,)), ((), ())),
+            (((1,), (0,)), ((), ())), mode=_PANEL_MODE,
         )                                                   # (tr, MP)
         down = panel_dot(
             wsi, phtt_scr[:, :],
-            (((1,), (1,)), ((), ())),
+            (((1,), (1,)), ((), ())), mode=_PANEL_MODE,
         )                                                   # (tr, D)
     p2p = p2c_scr[pl.ds(i * tr, tr), :]                     # (tr, 1)
     out_ref[:, :] = p_ref[:, :] + p2p * fr_scr[0:1, :] - down
@@ -1302,7 +1318,7 @@ def frame_step(p, x, rows, vns, swans, phis, actives, q_cov,
                     pltpu.VMEM((mp, mp), jnp.bfloat16),  # S^-1 hi
                     pltpu.VMEM((mp, mp), jnp.bfloat16),  # S^-1 lo
                 ]
-                if panel_split_enabled()
+                if panel_split_enabled(_PANEL_MODE)
                 else [
                     pltpu.VMEM((d, mp), f32),            # phtT
                     pltpu.VMEM((mp, mp), f32),           # S^-1
