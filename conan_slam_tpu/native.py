@@ -23,11 +23,24 @@ _lib = None
 _hostsim = None
 
 
+def _stale(lib_path: str, *sources: str) -> bool:
+    if not os.path.exists(lib_path):
+        return True
+    lib_mtime = os.path.getmtime(lib_path)
+    return any(
+        os.path.exists(src) and os.path.getmtime(src) > lib_mtime
+        for src in sources
+    )
+
+
 def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    # Rebuild when the source is newer than the .so — a stale build from an
+    # earlier round lacks newer entry points (run_ekf_baseline_v3) and the
+    # ctypes binding below would fail on it.
+    if _stale(_LIB_PATH, os.path.join(_NATIVE_DIR, "slam_baseline.cpp")):
         subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
     lib = ctypes.CDLL(_LIB_PATH)
     lib.run_ekf_baseline_v2.restype = ctypes.c_int64
@@ -62,7 +75,7 @@ def _load_hostsim():
     global _hostsim
     if _hostsim is not None:
         return _hostsim
-    if not os.path.exists(_HOSTSIM_PATH):
+    if _stale(_HOSTSIM_PATH, os.path.join(_NATIVE_DIR, "hostsim.cpp")):
         subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
     lib = ctypes.CDLL(_HOSTSIM_PATH)
     f32p = ctypes.POINTER(ctypes.c_float)

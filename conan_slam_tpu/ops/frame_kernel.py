@@ -105,7 +105,7 @@ def panel_dot(a, b, dimension_numbers, mode=None):
     if mode in ("split3", "split4"):
         ah, al = split_hi_lo(a)
         bh, bl = split_hi_lo(b)
-        return panel_dot_split(ah, al, bh, bl, dimension_numbers)
+        return panel_dot_split(ah, al, bh, bl, dimension_numbers, mode=mode)
     return dot(a, b, _PREC_BY_MODE[mode])
 
 
@@ -123,8 +123,10 @@ def split_hi_lo(a):
     return ah, al
 
 
-def panel_dot_split(ah, al, bh, bl, dimension_numbers):
-    """The split-tier product from pre-split operands (see ``panel_dot``)."""
+def panel_dot_split(ah, al, bh, bl, dimension_numbers, mode="split4"):
+    """The split-tier product from pre-split operands (see ``panel_dot``);
+    ``mode`` selects whether the lo.lo cross term is kept (split4) or
+    dropped (split3)."""
 
     def dot(x, y):
         return jax.lax.dot_general(
@@ -134,7 +136,7 @@ def panel_dot_split(ah, al, bh, bl, dimension_numbers):
         )
 
     out = dot(ah, bh) + dot(ah, bl) + dot(al, bh)
-    if _PANEL_MODE != "split3":
+    if mode != "split3":
         out = out + dot(al, bl)
     return out
 
@@ -838,11 +840,13 @@ def _framestep_kernel(subs_ref, qc_ref, zin_ref, rsc_ref, nblk_ref,
         ph = phtth_scr[pl.ds(i * tr, tr), :]
         plo = phttl_scr[pl.ds(i * tr, tr), :]
         wsi = panel_dot_split(
-            ph, plo, sih_scr[:, :], sil_scr[:, :], (((1,), (0,)), ((), ()))
+            ph, plo, sih_scr[:, :], sil_scr[:, :], (((1,), (0,)), ((), ())),
+            mode=_PANEL_MODE,
         )                                                   # (tr, MP)
         wh, wl = split_hi_lo(wsi)
         down = panel_dot_split(
-            wh, wl, phtth_scr[:, :], phttl_scr[:, :], (((1,), (1,)), ((), ()))
+            wh, wl, phtth_scr[:, :], phttl_scr[:, :], (((1,), (1,)), ((), ())),
+            mode=_PANEL_MODE,
         )                                                   # (tr, D)
     else:
         wsi = panel_dot(

@@ -27,13 +27,6 @@ import jax.numpy as jnp
 from conan_slam_tpu.core.linalg import PRECISION
 
 
-def _pick_tile(d: int) -> int:
-    for t in (512, 256, 128):
-        if d % t == 0:
-            return t
-    return 0
-
-
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
@@ -102,10 +95,12 @@ def rank_update_t(p, vt, b, *, interpret: bool = False):
         vbt_h, vbt_l = split_hi_lo(vbt)
         strips = (vt_h, vt_l, vbt_h, vbt_l)
 
+        from conan_slam_tpu.ops.frame_kernel import _SAFE_MODE
+
         def kernel(p_ref, vth_ref, vtl_ref, vbh_ref, vbl_ref, out_ref):
             out_ref[:, :] = p_ref[:, :] + panel_dot_split(
                 vth_ref[:, :], vtl_ref[:, :], vbh_ref[:, :], vbl_ref[:, :],
-                (((0,), (0,)), ((), ())),
+                (((0,), (0,)), ((), ())), mode=_SAFE_MODE,
             )
     else:
         strips = (vt, vbt)

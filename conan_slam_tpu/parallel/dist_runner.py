@@ -120,7 +120,7 @@ def dist_ekf_frame_step(
     if cfg.fast_frame:
         from conan_slam_tpu.parallel.dist_fastframe import sharded_frame_update
 
-        safe_slots = jnp.clip(jnp.maximum(slots, 0), 0, cap - 1)
+        safe_slots = jnp.clip(slots, 0, cap - 1)
         x, p, frame_nis, pose_trace = sharded_frame_update(
             mesh, x, p,
             jnp.stack(vns), jnp.stack(swans), jnp.stack(phis),

@@ -370,44 +370,57 @@ def run_ekf_slam_precomputed_chunked(
     )
     outs_list = []
     n_chunks = (n_steps + chunk_steps - 1) // chunk_steps
+
+    def chunk_bounds(c):
+        return c * chunk_steps, min((c + 1) * chunk_steps, n_steps)
+
+    def outs_template(n):
+        return SimOutputs(
+            x_true=jnp.zeros((n, 3), jnp.float32),
+            x_est=jnp.zeros((n, 3), jnp.float32),
+            done=jnp.zeros((n,), bool),
+            n_active=jnp.zeros((n,), jnp.int32),
+            consistency=jnp.zeros((n,), jnp.float32),
+        )
+
     start_chunk = 0
     if checkpoint_dir is not None:
+        import json
         import os
 
         from conan_slam_tpu.utils import checkpoint as ckpt_mod
 
-        done = (
-            sorted(
-                int(name.split("_")[1])
-                for name in os.listdir(checkpoint_dir)
-                if name.startswith("chunk_")
-            )
-            if os.path.isdir(checkpoint_dir)
-            else []
-        )
-        done = [c for c in done if c < n_chunks]
-        if done:
-            c0 = done[-1]
-            steps_done = min((c0 + 1) * chunk_steps, n_steps)
-            template = {
-                "state": state,
-                "outs": SimOutputs(
-                    x_true=jnp.zeros((steps_done, 3), jnp.float32),
-                    x_est=jnp.zeros((steps_done, 3), jnp.float32),
-                    done=jnp.zeros((steps_done,), bool),
-                    n_active=jnp.zeros((steps_done,), jnp.int32),
-                    consistency=jnp.zeros((steps_done,), jnp.float32),
-                ),
-            }
-            restored = ckpt_mod.restore(
-                os.path.join(checkpoint_dir, f"chunk_{c0:05d}"), template
-            )
+        # Resume from the longest PREFIX of checkpoints whose recorded
+        # boundaries match this run's (chunk_steps / ragged-tail layout); a
+        # chunk from an incompatible earlier run is treated as absent.  Each
+        # chunk stores only ITS outputs (constant I/O per chunk) plus the
+        # carried state; the caller contract for bit-identity remains "same
+        # world/cfg/key/rollout" (the boundary metadata catches the
+        # structural mismatches, not a different key).
+        def meta_path(c):
+            return os.path.join(checkpoint_dir, f"chunk_{c:05d}.meta.json")
+
+        usable = 0
+        while usable < n_chunks and os.path.exists(meta_path(usable)):
+            with open(meta_path(usable)) as f:
+                meta = json.load(f)
+            s0, s1 = chunk_bounds(usable)
+            if meta.get("s0") != s0 or meta.get("s1") != s1:
+                break
+            usable += 1
+        if usable:
+            for c in range(usable):
+                s0, s1 = chunk_bounds(c)
+                template = {"state": state, "outs": outs_template(s1 - s0)}
+                restored = ckpt_mod.restore(
+                    os.path.join(checkpoint_dir, f"chunk_{c:05d}"), template
+                )
+                outs_list.append(restored["outs"])
             state = restored["state"]
-            outs_list = [restored["outs"]]
-            start_chunk = c0 + 1
+            start_chunk = usable
     for c in range(start_chunk, n_chunks):
         # A ragged tail chunk compiles its own (smaller) program once.
-        s0, s1 = c * chunk_steps, min((c + 1) * chunk_steps, n_steps)
+        s0, s1 = chunk_bounds(c)
         f0, f1 = s0 // interval, s1 // interval
         t_slice = tuple(a[s0:s1] for a in truth_dev)
         o_slice = tuple(a[f0:f1] for a in obs_dev)
@@ -417,17 +430,20 @@ def run_ekf_slam_precomputed_chunked(
         )
         outs_list.append(outs)
         if checkpoint_dir is not None:
+            import json
             import os
 
             from conan_slam_tpu.utils import checkpoint as ckpt_mod
 
-            outs_sofar = jax.tree_util.tree_map(
-                lambda *xs: jnp.concatenate(xs, axis=0), *outs_list
-            )
             ckpt_mod.save(
                 os.path.join(checkpoint_dir, f"chunk_{c:05d}"),
-                {"state": state, "outs": outs_sofar},
+                {"state": state, "outs": outs},
             )
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            with open(
+                os.path.join(checkpoint_dir, f"chunk_{c:05d}.meta.json"), "w"
+            ) as f:
+                json.dump({"s0": s0, "s1": s1, "chunk_steps": chunk_steps}, f)
     outs_all = jax.tree_util.tree_map(
         lambda *xs: jnp.concatenate(xs, axis=0), *outs_list
     )
@@ -589,8 +605,13 @@ def run_pf_slam(world: World, cfg: SlamConfig, key: jax.Array, n_steps: int = 25
                 step, carry, None, length=n_frames,
                 unroll=min(cfg.scan_unroll, n_frames),
             )
+        # Trim the whole-frames rounding so both driver paths return exactly
+        # n_steps rows.
         outs = jax.tree_util.tree_map(
-            lambda x: x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:]), outs
+            lambda x: x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])[
+                :n_steps
+            ],
+            outs,
         )
         return carry, outs
     step = functools.partial(pf_sim_step, cfg=cfg, world=world, noise=noise)
