@@ -87,7 +87,7 @@ def _particle_proposal(pose, cov, xf, pf, z, slots, mask, r_cov, key):
     return xs, ll + log_prior - log_prop
 
 
-def _particle_proposal_batched(pose, cov, xf, pf, z, slots, mask, r_cov, key):
+def _particle_proposal_batched(pose, cov, xf_s, pf_s, z, mask, r_cov, key):
     """One-shot information-form fusion: all Jacobians linearised at the
     predicted pose, fused jointly.
 
@@ -97,9 +97,11 @@ def _particle_proposal_batched(pose, cov, xf, pf, z, slots, mask, r_cov, key):
     is a (slightly) different proposal distribution than the reference's
     iterated fusion — still an exact SMC algorithm, because the importance
     weight divides by the density of the proposal actually sampled from.
+    ``xf_s``/``pf_s`` are the per-slot map blocks, pre-gathered at the
+    ensemble level (one-hot MXU selection — state.slot_selector).
     """
-    zp, hv, hf = sensor.observe(pose, xf[slots])                # (NZ, ...)
-    sf = sym(quad_small(hf, pf[slots], r_cov))
+    zp, hv, hf = sensor.observe(pose, xf_s)                     # (NZ, ...)
+    sf = sym(quad_small(hf, pf_s, r_cov))
     sfi = inv2(sf)
     v = z - zp
     v = v.at[:, 1].set(wrap_angle(v[:, 1]))
@@ -117,8 +119,8 @@ def _particle_proposal_batched(pose, cov, xf, pf, z, slots, mask, r_cov, key):
 
     # Likelihood at the sampled pose (as in the sequential form).  All
     # densities via closed-form 2x2/3x3 routines (no serialised TPU linalg).
-    zp_s, _, hf_s = sensor.observe(xs, xf[slots])
-    sf_s = sym(quad_small(hf_s, pf[slots], r_cov))
+    zp_s, _, hf_s = sensor.observe(xs, xf_s)
+    sf_s = sym(quad_small(hf_s, pf_s, r_cov))
     v_s = z - zp_s
     v_s = v_s.at[:, 1].set(wrap_angle(v_s[:, 1]))
     ll = jnp.sum(jnp.where(mask, mvn_logpdf2(v_s, sf_s, _COV_JITTER), 0.0))
@@ -141,10 +143,20 @@ def sample_proposal(
     n = ens.num_particles
     keys = jax.random.split(key, n)
     safe_slots = jnp.clip(slots, 0, ens.capacity - 1)
-    fn = _particle_proposal if relinearize else _particle_proposal_batched
-    xs, dlw = jax.vmap(
-        fn, in_axes=(0, 0, 0, 0, None, None, None, None, 0)
-    )(ens.pose, ens.pose_cov, ens.xf, ens.pf, obs.z, safe_slots, mask, r_cov, keys)
+    if relinearize:
+        xs, dlw = jax.vmap(
+            _particle_proposal, in_axes=(0, 0, 0, 0, None, None, None, None, 0)
+        )(ens.pose, ens.pose_cov, ens.xf, ens.pf, obs.z, safe_slots, mask,
+          r_cov, keys)
+    else:
+        from conan_slam_tpu.filters.pf.state import gather_slots, slot_selector
+
+        sel = slot_selector(safe_slots, ens.capacity)
+        xf_s, pf_s = gather_slots(ens.xf, ens.pf, sel)
+        xs, dlw = jax.vmap(
+            _particle_proposal_batched,
+            in_axes=(0, 0, 0, 0, None, None, None, 0),
+        )(ens.pose, ens.pose_cov, xf_s, pf_s, obs.z, mask, r_cov, keys)
     return ens._replace(
         pose=xs,
         pose_cov=jnp.zeros_like(ens.pose_cov),

@@ -83,3 +83,46 @@ def mean_pose(ens: ParticleEnsemble) -> jax.Array:
         jnp.sum(w * jnp.sin(ens.pose[:, 2])), jnp.sum(w * jnp.cos(ens.pose[:, 2]))
     )
     return jnp.concatenate([xy, wrap_angle(phi)[None]])
+
+
+def slot_selector(safe_slots, capacity: int):
+    """One-hot ``(K, NZ)`` float32 selector for the shared slot buffer.
+
+    The observation buffer's slot indices are IDENTICAL across particles
+    (association is against the shared table), so per-particle map
+    gathers/scatters ``xf[:, slots]`` — (N x NZ) latency-bound gather rows
+    on TPU, measured as the dominant cost of the PF observation block —
+    become tiny exact fp32 MXU contractions against this selector instead
+    (products are x*1 / x*0, so HIGHEST-precision selection is bit-exact).
+    """
+    return (
+        jnp.arange(capacity)[:, None] == safe_slots[None, :]
+    ).astype(jnp.float32)
+
+
+def gather_slots(xf, pf, sel):
+    """``(N,K,2), (N,K,2,2) -> (N,NZ,2), (N,NZ,2,2)`` via the one-hot
+    selector (exact; see ``slot_selector``)."""
+    from conan_slam_tpu.core.linalg import PRECISION
+
+    xf_s = jnp.einsum("nkc,ks->nsc", xf, sel, precision=PRECISION)
+    pf_s = jnp.einsum("nkab,ks->nsab", pf, sel, precision=PRECISION)
+    return xf_s, pf_s
+
+
+def scatter_slots(xf, pf, sel, mask, xf_new, pf_new):
+    """Write back per-slot updates with exact set semantics: slot k keeps
+    its old value unless a masked-true measurement updated it (one-hot
+    select/blend — no latency-bound scatter, no float re-accumulation)."""
+    from conan_slam_tpu.core.linalg import PRECISION
+
+    touched = sel @ mask.astype(jnp.float32)                    # (K,)
+    xfm = jnp.where(mask[None, :, None], xf_new, 0.0)
+    pfm = jnp.where(mask[None, :, None, None], pf_new, 0.0)
+    xf_out = xf * (1.0 - touched)[None, :, None] + jnp.einsum(
+        "nsc,ks->nkc", xfm, sel, precision=PRECISION
+    )
+    pf_out = pf * (1.0 - touched)[None, :, None, None] + jnp.einsum(
+        "nsab,ks->nkab", pfm, sel, precision=PRECISION
+    )
+    return xf_out, pf_out

@@ -26,25 +26,32 @@ def feature_update(
     The reference routes these through the generic ``choleskyUpdate``; at 2x2
     a closed-form gain K = P H^T S^-1 is cheaper and exact.
     """
+    from conan_slam_tpu.filters.pf.state import (
+        gather_slots,
+        scatter_slots,
+        slot_selector,
+    )
+
     safe_slots = jnp.clip(slots, 0, ens.capacity - 1)
+    # Slot gather/scatter as one-hot MXU contractions: the (N, NZ)
+    # latency-bound gather rows were the measured cost driver of this step
+    # (slots are shared across particles, see slot_selector).
+    sel = slot_selector(safe_slots, ens.capacity)
+    xf_s, pf_s = gather_slots(ens.xf, ens.pf, sel)      # (N,NZ,2) (N,NZ,2,2)
 
-    def one_particle(pose, xf, pf):
-        xf_s = xf[safe_slots]                       # (NZ, 2)
-        pf_s = pf[safe_slots]                       # (NZ, 2, 2)
-        zp, _, hf = sensor.observe(pose, xf_s)
-        v = obs.z - zp
-        v = v.at[:, 1].set(wrap_angle(v[:, 1]))
-        s = sym(quad_small(hf, pf_s, r_cov))
-        hft = jnp.swapaxes(hf, -1, -2)
-        k = bmm_small(bmm_small(pf_s, hft), inv2(s))            # P H^T S^-1
-        xf_new = xf_s + bmv_small(k, v)
-        kh = bmm_small(k, hf)
-        pf_new = sym(pf_s - bmm_small(kh, pf_s))
-        xf_new = jnp.where(mask[:, None], xf_new, xf_s)
-        pf_new = jnp.where(mask[:, None, None], pf_new, pf_s)
-        return xf.at[safe_slots].set(xf_new), pf.at[safe_slots].set(pf_new)
+    zp, _, hf = jax.vmap(lambda pose, xfs: sensor.observe(pose, xfs))(
+        ens.pose, xf_s
+    )
+    v = obs.z[None, :, :] - zp
+    v = v.at[..., 1].set(wrap_angle(v[..., 1]))
+    s = sym(quad_small(hf, pf_s, r_cov))
+    hft = jnp.swapaxes(hf, -1, -2)
+    k = bmm_small(bmm_small(pf_s, hft), inv2(s))        # P H^T S^-1
+    xf_new = xf_s + bmv_small(k, v)
+    kh = bmm_small(k, hf)
+    pf_new = sym(pf_s - bmm_small(kh, pf_s))
 
-    xf, pf = jax.vmap(one_particle)(ens.pose, ens.xf, ens.pf)
+    xf, pf = scatter_slots(ens.xf, ens.pf, sel, mask, xf_new, pf_new)
     return ens._replace(xf=xf, pf=pf)
 
 
