@@ -8,10 +8,14 @@ platform to cpu for local runs — see CLAUDE.md).
 """
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
+
+# Runnable as `python examples/valet_loop.py` without installing the package.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
