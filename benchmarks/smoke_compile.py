@@ -184,12 +184,20 @@ def stage_ate() -> None:
 
 def stage_gated() -> None:
     """The gated-association product program (bench_gated config: 500-lm
-    world, empty map, gating kernel + factor kernel + megakernel) must lower
-    and run — a different kernel mix from the headline shape."""
+    world, empty map, gating kernel + factor kernel + megakernel) must lower,
+    run AND hold a multi-thousand-step accuracy bound.
+
+    The length matters: a 60-step version of this stage PASSED while a
+    precision regression (split-tier panels in the gated kernels, round 4)
+    was corrupting association into an 11 m ATE over the full tour —
+    association errors need thousands of steps to compound visibly.  3,000
+    steps catches that failure class at ~0.1 s device time (the canonical
+    run's ATE at this horizon is ~0.1 m; the corrupted run was > 1 m)."""
     import jax
     import jax.numpy as jnp
 
     from conan_slam_tpu.config import SlamConfig
+    from conan_slam_tpu.runner import metrics
     from conan_slam_tpu.runner.loop import run_ekf_slam_precomputed
     from conan_slam_tpu.sim.world import default_world, random_world
 
@@ -200,12 +208,14 @@ def stage_gated() -> None:
                      switch_association_known=False)
     t0 = time.perf_counter()
     state, outs = run_ekf_slam_precomputed(
-        world, cfg, jax.random.PRNGKey(0), n_steps=60
+        world, cfg, jax.random.PRNGKey(0), n_steps=3000
     )
-    np.asarray(outs.x_est)
-    log(f"gated compile+run (60 steps): {time.perf_counter() - t0:.1f}s")
+    ate = float(metrics.ate_rmse(outs.x_true, outs.x_est, ~outs.done))
+    log(f"gated compile+run (3000 steps): {time.perf_counter() - t0:.1f}s, "
+        f"ATE={ate:.3f} m, mapped={int(state.n_active)}")
     assert np.all(np.isfinite(np.asarray(state.x)))
     assert int(state.n_active) > 0, "gated program must map landmarks"
+    assert ate < 1.0, f"gated ATE {ate} — association corrupting"
     log("stage gated: PASS")
 
 
