@@ -59,17 +59,21 @@ _FK_VMEM_BUDGET = int(_os.environ.get("FK_VMEM_BUDGET_MB", "14")) * 2**20
 # these two matmuls gives relP = 1.3e-2 against the fp32 reference at the
 # bench shape — bf16 operand rounding is too coarse for the covariance
 # downdate (the round-2 divergence lesson held even with symmetric factors),
-# so raw DEFAULT stays a debug knob.  "split4" (the PRODUCT DEFAULT since
-# round 4) constructs the middle tier by hand: each operand splits into
-# bf16 hi + bf16 lo (hi + lo carries ~16 mantissa bits of the fp32 value)
-# and the product runs as FOUR DEFAULT passes hi.hi + hi.lo + lo.hi + lo.lo
-# — representation error ~2^-16 relative with NO dropped cross term
-# (dropping lo.lo, the classic 3-pass split, breaks the downdate's
-# symmetric structure).  Validated: full smoke gate incl. the 9600-step ate
-# stage passes at ATE 0.0302 m / asym(P) 4.5e-6 (vs bound 0.05 / 1e-4);
-# measured -28 us/frame on the bare P pass and -14 us on the fused frame at
-# the bench shape vs HIGHEST.  Fixed at import like the VMEM budget.
-_PANEL_MODE = _os.environ.get("FK_PANEL_PRECISION", "split4")
+# so raw DEFAULT stays a debug knob.  The split tiers construct the middle
+# tier by hand: each operand splits into bf16 hi + bf16 lo (together ~16
+# mantissa bits of the fp32 value) and the product runs as DEFAULT MXU
+# passes with fp32 accumulation — "split4" keeps all four cross terms,
+# "split3" (the PRODUCT DEFAULT for the known-association frame kernel
+# since round 4) drops the ~2^-16-scale lo.lo term for one fewer pass.
+# Both are gate-validated for THIS consumer over the FULL 19.5k-step
+# course: ATE_live 0.0307 (split3) / 0.0306 (split4) / 0.0310 (fp32
+# contract), identical max error, asym(P) flat at 8.6e-6 / 4.7e-6 /
+# 1.5e-7 (bound 1e-4) — the dropped term's asymmetry is empirically
+# benign HERE, but see the gated-path warning above before reusing either
+# tier elsewhere.  vs HIGHEST: -28 us/frame on the bare P pass, -19 us on
+# the fused frame at the bench shape.  Fixed at import like the VMEM
+# budget.
+_PANEL_MODE = _os.environ.get("FK_PANEL_PRECISION", "split3")
 # MEASURED NEGATIVE RESULT (round 4): the split tier is ONLY safe where a
 # long-horizon gate validates the exact consumer.  The known-association
 # frame kernel passes the 9600-step ate stage at split4 (asym 4.5e-6), but
