@@ -779,6 +779,10 @@ def _framestep_kernel(subs_ref, qc_ref, zin_ref, rsc_ref, nblk_ref,
                 preferred_element_type=f32, precision=PRECISION,
             )
         )                                                   # (MP, D)
+        # MEASURED NEGATIVE RESULT (round 4): assembling phtT directly in
+        # (D, MP) layout (operand-flipped dots incl. K=1 rank-1 matmuls for
+        # the outer-product terms) measured 3.6 us/frame SLOWER than this
+        # explicit transpose — Mosaic's relayout beats the flipped dot mix.
         phtT = pht.T
         if split:
             hi, lo = split_hi_lo(phtT)
