@@ -113,10 +113,17 @@ def gather_slots(xf, pf, sel):
 def scatter_slots(xf, pf, sel, mask, xf_new, pf_new):
     """Write back per-slot updates with exact set semantics: slot k keeps
     its old value unless a masked-true measurement updated it (one-hot
-    select/blend — no latency-bound scatter, no float re-accumulation)."""
+    select/blend — no latency-bound scatter, no float re-accumulation).
+
+    Precondition: masked-true slots must be unique (one measurement per map
+    slot — guaranteed by id-based ``associate_known``).  ``touched`` is
+    clamped so a duplicated slot degrades to summed updates over a single
+    old-value removal rather than corrupting the blend weights; callers that
+    could produce duplicates must dedupe first (the old per-particle
+    ``.at[slots].set`` was last-write-wins)."""
     from conan_slam_tpu.core.linalg import PRECISION
 
-    touched = sel @ mask.astype(jnp.float32)                    # (K,)
+    touched = jnp.minimum(sel @ mask.astype(jnp.float32), 1.0)  # (K,)
     xfm = jnp.where(mask[None, :, None], xf_new, 0.0)
     pfm = jnp.where(mask[None, :, None, None], pf_new, 0.0)
     xf_out = xf * (1.0 - touched)[None, :, None] + jnp.einsum(

@@ -83,8 +83,11 @@ def rank_update_t(p, vt, b, *, interpret: bool = False):
         transcendentals=0,
     )
 
-    # Panel precision shares the frame kernels' tier knob (frame_kernel.py:
-    # split4 product default, fp32-contract HIGHEST fallback); the small
+    # Panel precision: the KNOWN-association frame kernel defaults to the
+    # split3 product tier, but THIS kernel sits on the gated path and so
+    # follows FK_PANEL_PRECISION_SAFE (default HIGHEST / fp32 contract) per
+    # the gated-path precision policy — see frame_kernel.py:_SAFE_MODE for
+    # the measured association-corruption failure that forced it.  The small
     # B Vt prep above always stays HIGHEST.  Under the split tier the hi/lo
     # decomposition happens ONCE here (XLA level) and the kernel consumes
     # four bf16 strips — no per-panel conversion of loop-invariant operands,

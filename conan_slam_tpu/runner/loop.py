@@ -391,12 +391,22 @@ def run_ekf_slam_precomputed_chunked(
         from conan_slam_tpu.utils import checkpoint as ckpt_mod
 
         # Resume from the longest PREFIX of checkpoints whose recorded
-        # boundaries match this run's (chunk_steps / ragged-tail layout); a
-        # chunk from an incompatible earlier run is treated as absent.  Each
-        # chunk stores only ITS outputs (constant I/O per chunk) plus the
-        # carried state; the caller contract for bit-identity remains "same
-        # world/cfg/key/rollout" (the boundary metadata catches the
-        # structural mismatches, not a different key).
+        # boundaries AND run identity match this run's; a chunk from an
+        # incompatible earlier run (different chunking, key, config, horizon
+        # or world) is treated as absent.  Each chunk stores only ITS outputs
+        # (constant I/O per chunk) plus the carried state.
+        import hashlib
+
+        import numpy as np
+
+        ident = hashlib.sha256()
+        ident.update(np.asarray(key).tobytes())
+        ident.update(repr(cfg).encode())
+        ident.update(str(n_steps).encode())
+        ident.update(np.asarray(world.landmarks).tobytes())
+        ident.update(np.asarray(world.waypoints).tobytes())
+        run_id = ident.hexdigest()[:16]
+
         def meta_path(c):
             return os.path.join(checkpoint_dir, f"chunk_{c:05d}.meta.json")
 
@@ -405,7 +415,11 @@ def run_ekf_slam_precomputed_chunked(
             with open(meta_path(usable)) as f:
                 meta = json.load(f)
             s0, s1 = chunk_bounds(usable)
-            if meta.get("s0") != s0 or meta.get("s1") != s1:
+            if (
+                meta.get("s0") != s0
+                or meta.get("s1") != s1
+                or meta.get("run_id", run_id) != run_id
+            ):
                 break
             usable += 1
         if usable:
@@ -443,7 +457,8 @@ def run_ekf_slam_precomputed_chunked(
             with open(
                 os.path.join(checkpoint_dir, f"chunk_{c:05d}.meta.json"), "w"
             ) as f:
-                json.dump({"s0": s0, "s1": s1, "chunk_steps": chunk_steps}, f)
+                json.dump({"s0": s0, "s1": s1, "chunk_steps": chunk_steps,
+                           "run_id": run_id}, f)
     outs_all = jax.tree_util.tree_map(
         lambda *xs: jnp.concatenate(xs, axis=0), *outs_list
     )
@@ -587,7 +602,15 @@ def run_pf_slam(world: World, cfg: SlamConfig, key: jax.Array, n_steps: int = 25
 
     With ``cfg.fast_frame`` (the default) the scan runs over observation
     frames (``pf_frame_step``); ``fast_frame=False`` keeps the per-control-
-    step scan (``pf_sim_step``)."""
+    step scan (``pf_sim_step``).
+
+    Whole-frame carry semantics: the fast_frame path rounds ``n_steps`` UP
+    to whole observation frames — a partial final frame still executes all
+    of its sub-steps plus the end-of-frame observation, so the returned
+    carry/ensemble has advanced to the frame boundary (outputs are trimmed
+    to exactly ``n_steps`` rows, the carry is not).  Pass
+    ``n_steps % cfg.observe_interval == 0`` for carry parity with the
+    per-step driver."""
     noise = make_noise(cfg, "pf")
     carry = PFSimCarry(
         steer=init_steer_state(cfg.number_loops),
