@@ -131,16 +131,49 @@ def bench_native(lm, wp) -> tuple[float, float]:
     return max(opt.steps_per_s, naive.steps_per_s), opt.ate_rmse
 
 
+def run_extra():
+    """BENCH_EXTRA=1: run the secondary configs (config-2 gated, PF sweep,
+    longloop) and return a compact machine-readable dict so round-over-round
+    regressions on the non-headline configs are driver-visible.  Uses the
+    standard shapes (warm via .jax_bench_cache); budget several minutes."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "benchmarks"))
+    extra = {}
+    import bench_gated
+
+    log("--- BENCH_EXTRA: config-2 gated (500 lm) ---")
+    extra["gated_500lm"] = bench_gated.main(25_000)
+    log("--- BENCH_EXTRA: PF N=10000 ---")
+    import bench_pf
+
+    extra["pf"] = {
+        f"n{n}": r for n, r in bench_pf.main(ensembles=(10000,)).items()
+    }
+    log("--- BENCH_EXTRA: longloop 5k lm ---")
+    import bench_longloop
+
+    extra["longloop_5000lm"] = bench_longloop.main()
+    return extra
+
+
 def main():
+    import os
+
     lm, wp, world = build_world()
     cpu_sps, cpu_ate = bench_native(lm, wp)
     tpu_sps, tpu_ate = bench_tpu(world)
-    print(json.dumps({
+    result = {
         "metric": "ekf_fullmap_1024lm_control_steps_per_s",
         "value": round(tpu_sps, 1),
         "unit": "steps/s",
         "vs_baseline": round(tpu_sps / cpu_sps, 3),
-    }))
+    }
+    if os.environ.get("BENCH_EXTRA") == "1":
+        result["extra"] = run_extra()
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

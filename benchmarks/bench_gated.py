@@ -102,6 +102,12 @@ def main(steps: int = 25_000):
         f"ATE={ate:.3f} m, mapped={int(state.n_active)}",
         flush=True,
     )
+    return {
+        "steps_per_s": round(steps / best, 1),
+        "ate_m": round(ate, 4),
+        "mapped": int(state.n_active),
+        "landmarks": N_LANDMARKS,
+    }
 
 
 if __name__ == "__main__":

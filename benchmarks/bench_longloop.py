@@ -43,11 +43,10 @@ def star_waypoints(radius: float = 4000.0) -> np.ndarray:
     return np.concatenate([np.zeros((1, 2)), pts[order]]).astype(np.float32)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=56_000)
-    ap.add_argument("--landmarks", type=int, default=N_LANDMARKS)
-    args = ap.parse_args()
+def main(steps: int = 56_000, landmarks: int = N_LANDMARKS):
+    import types
+
+    args = types.SimpleNamespace(steps=steps, landmarks=landmarks)
 
     import jax
     import jax.numpy as jnp
@@ -123,7 +122,19 @@ def main():
         f"{float(pg.graph_error(g_opt)):.0f}, {relax_wall:.1f}s)",
         flush=True,
     )
+    return {
+        "filter_steps_per_s": round(args.steps / wall, 1),
+        "filter_ate_m": round(ate_filter, 3),
+        "mapped": int(state.n_active),
+        "closures": n_closures,
+        "aligned_ate_dead_reckoned_m": round(ate(g.nodes), 2),
+        "aligned_ate_relaxed_m": round(ate(g_opt.nodes), 2),
+    }
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=56_000)
+    ap.add_argument("--landmarks", type=int, default=N_LANDMARKS)
+    a = ap.parse_args()
+    main(steps=a.steps, landmarks=a.landmarks)

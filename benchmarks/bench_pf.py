@@ -19,7 +19,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
+def main(ensembles=(100, 1000, 10000, 100000)):
     import jax
 
     try:
@@ -36,7 +36,8 @@ def main():
     world = default_world()
     steps = 1200
     log(f"devices: {jax.devices()}")
-    for n_particles in (100, 1000, 10000, 100000):
+    results = {}
+    for n_particles in ensembles:
         cfg = SlamConfig(num_particles=n_particles)
         t0 = time.time()
         carry, outs = run_pf_slam(world, cfg, jax.random.PRNGKey(0), n_steps=steps)
@@ -57,6 +58,12 @@ def main():
             f"{n_particles * steps / best:12.3e} particle-steps/s  ATE={ate:.3f}",
             flush=True,
         )
+        results[n_particles] = {
+            "steps_per_s": round(steps / best, 1),
+            "particle_steps_per_s": round(n_particles * steps / best, 1),
+            "ate_m": round(ate, 4),
+        }
+    return results
 
 
 if __name__ == "__main__":
