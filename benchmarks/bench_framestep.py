@@ -285,7 +285,10 @@ def main(modes):
         rows131 = jnp.concatenate([jnp.arange(3, dtype=jnp.int32), rows2])
         zr = jnp.asarray(np.hypot(lm[:nz, 0], lm[:nz, 1]).astype(np.float32))
         zb = jnp.asarray(np.arctan2(lm[:nz, 1], lm[:nz, 0]).astype(np.float32))
-        mask = jnp.ones((nz,), bool)
+        # FS_NVALID bounds the valid measurements (the serial sweep scales
+        # with the LAST valid index; production frames run ~40 of 64).
+        nvalid = int(os.environ.get("FS_NVALID", str(nz)))
+        mask = jnp.asarray(np.arange(nz) < nvalid)
         r_cov = jnp.asarray(noise.re)
         s = interval
         vns_f = jnp.full((s,), cfg.velocity, jnp.float32)
@@ -308,6 +311,130 @@ def main(modes):
             run_scan(stepkernel_step, (state0.p, state0.x), dummy),
             (state0.p, state0.x), dummy,
         )
+
+    if "stepkernel_big" in modes:
+        # The streaming two-dispatch schedule (chain kernel + rank pass)
+        # forced at the bench shape — quantifies what the resident schedule
+        # buys, and the cost floor of the pair-fusion building blocks.
+        from conan_slam_tpu.ops.frame_kernel import frame_step
+
+        slots = jnp.arange(nz, dtype=jnp.int32)
+        rows2 = (3 + 2 * slots[:, None] + jnp.arange(2)[None, :]).reshape(-1)
+        rows131 = jnp.concatenate([jnp.arange(3, dtype=jnp.int32), rows2])
+        zr = jnp.asarray(np.hypot(lm[:nz, 0], lm[:nz, 1]).astype(np.float32))
+        zb = jnp.asarray(np.arctan2(lm[:nz, 1], lm[:nz, 0]).astype(np.float32))
+        mask = jnp.ones((nz,), bool)
+        r_cov = jnp.asarray(noise.re)
+        s = interval
+        vns_f = jnp.full((s,), cfg.velocity, jnp.float32)
+        swans_f = jnp.zeros((s,), jnp.float32)
+        phis_f = jnp.zeros((s,), jnp.float32)
+        actives_f = jnp.ones((s,), bool)
+
+        def stepkernel_big_step(carry, _):
+            p, x = carry
+            fs = frame_step(
+                p, x, rows131, vns_f, swans_f, phis_f, actives_f,
+                jnp.asarray(noise.qe), zr, zb, mask, r_cov,
+                cfg.wheel_base, cfg.dt_controls, cfg.sigma_heading, True,
+                _force_schedule="big",
+            )
+            return (fs.p, fs.x), fs.nis
+
+        dummy = jnp.zeros((n_frames,), jnp.float32)
+        timeit(
+            "stepkernel_big",
+            run_scan(stepkernel_big_step, (state0.p, state0.x), dummy),
+            (state0.p, state0.x), dummy,
+        )
+
+    if any(m in modes for m in ("chainkernel", "chainonly", "gmrank")):
+        # Isolate the two halves of the big/pair schedule: "chainkernel" =
+        # host gathers + one streaming chain dispatch (P fixed, x carried);
+        # "gmrank" = G/M assembly + the stacked rank pass (pht fixed).
+        from conan_slam_tpu.ops.frame_kernel import (
+            _chain_dispatch, _frame_gm, _pack_ctrl, _pack_meas,
+            _pick_bigchain_tile, _round_up,
+        )
+        from conan_slam_tpu.ops.pallas_update import rank_update_t
+
+        slots = jnp.arange(nz, dtype=jnp.int32)
+        rows2 = (3 + 2 * slots[:, None] + jnp.arange(2)[None, :]).reshape(-1)
+        rows131 = jnp.concatenate([jnp.arange(3, dtype=jnp.int32), rows2])
+        zr = jnp.asarray(np.hypot(lm[:nz, 0], lm[:nz, 1]).astype(np.float32))
+        zb = jnp.asarray(np.arctan2(lm[:nz, 1], lm[:nz, 0]).astype(np.float32))
+        mask = jnp.ones((nz,), bool)
+        r_cov = jnp.asarray(noise.re)
+        sI = interval
+        ctrl = (jnp.full((sI,), cfg.velocity, jnp.float32),
+                jnp.zeros((sI,), jnp.float32), jnp.zeros((sI,), jnp.float32),
+                jnp.ones((sI,), bool))
+        mp = _round_up(2 * nz, 128)
+        nzl = mp // 2
+        rp = _round_up(rows131.shape[0], 8)
+        tc = _pick_bigchain_tile(d, mp, rp)
+        f32 = jnp.float32
+        zin, rsc, nblk = _pack_meas(zr, zb, mask, r_cov, nzl, f32)
+        subs, qc = _pack_ctrl(*ctrl, jnp.asarray(noise.qe), f32)
+        rows_full = jnp.concatenate(
+            [rows131, jnp.zeros((rp - rows131.shape[0],), rows131.dtype)]
+        )
+        p_fix = state0.p
+
+        if "chainkernel" in modes:
+            def chain_step(x, _):
+                prows = p_fix[rows_full]
+                prc = prows[:, rows_full]
+                x0rows = x[rows_full].reshape(1, rp)
+                pht, xn, pt, nis, si, k4 = _chain_dispatch(
+                    x.reshape(1, d), subs, qc, zin, rsc, nblk, x0rows,
+                    prows, prc, tc, mp, rp, sI, cfg.wheel_base,
+                    cfg.dt_controls, cfg.sigma_heading, True,
+                    False,
+                )
+                return xn[0], nis[0, 0]
+
+            dummy = jnp.zeros((n_frames,), jnp.float32)
+            timeit("chainkernel", run_scan(chain_step, state0.x, dummy),
+                   state0.x, dummy)
+
+        if "chainonly" in modes:
+            # The chain dispatch with the P row strips FIXED (hoisted out of
+            # the scan): kernel + dispatch cost without the per-frame
+            # gathers.
+            prows_fix = p_fix[rows_full]
+            prc_fix = prows_fix[:, rows_full]
+
+            def chainonly_step(x, _):
+                x0rows = x[rows_full].reshape(1, rp)
+                pht, xn, pt, nis, si, k4 = _chain_dispatch(
+                    x.reshape(1, d), subs, qc, zin, rsc, nblk, x0rows,
+                    prows_fix, prc_fix, tc, mp, rp, sI, cfg.wheel_base,
+                    cfg.dt_controls, cfg.sigma_heading, True,
+                    False,
+                )
+                return xn[0], nis[0, 0]
+
+            dummy = jnp.zeros((n_frames,), jnp.float32)
+            timeit("chainonly", run_scan(chainonly_step, state0.x, dummy),
+                   state0.x, dummy)
+
+        if "gmrank" in modes:
+            pht_fix = jnp.asarray(
+                rng.normal(size=(mp, d)).astype(np.float32) * 1e-4
+            )
+            si_fix = jnp.eye(mp, dtype=f32) * 1e-6
+            k4_fix = jnp.zeros((8, 8), f32)
+
+            def gmrank_step(carry, _):
+                p = carry
+                g, m = _frame_gm(pht_fix, si_fix, k4_fix, p[2:3, :], mp)
+                p = rank_update_t(p, g, m)
+                return p, p[0, 0]
+
+            dummy = jnp.zeros((n_frames,), jnp.float32)
+            timeit("gmrank", run_scan(gmrank_step, state0.p, dummy),
+                   state0.p, dummy)
 
     if "factkernel" in modes:
         # frame_factors_fused alone: the factor recursion kernel + its glue,

@@ -115,6 +115,14 @@ class SlamConfig:
     # at D=2304, ~2 ms at the 10k-landmark shape), which this switch
     # removes at trace time.
     enable_augment: bool = True
+    # Fuse CONSECUTIVE observation frames into one covariance pass
+    # (ops.frame_kernel.frame_step_pair): frame B's P row strips are
+    # reconstructed from frame A's factored update, so the dense P is read
+    # and written once per TWO frames.  Requires known association with
+    # enable_augment=False (steady-state full-map tracking — the headline
+    # regime); the precomputed driver falls back to per-frame stepping
+    # when the preconditions don't hold.
+    frame_pair: bool = False
 
     @property
     def num_effective(self) -> float:

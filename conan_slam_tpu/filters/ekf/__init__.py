@@ -14,6 +14,7 @@ from conan_slam_tpu.filters.ekf.associate import (
 )
 from conan_slam_tpu.filters.ekf.update import (
     batch_update,
+    fused_frame_pair_step,
     fused_frame_step,
     fused_frame_update,
     sequential_update,

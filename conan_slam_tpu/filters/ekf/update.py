@@ -125,6 +125,73 @@ def fused_frame_step(
     return state2, pose_trace, nis
 
 
+def fused_frame_pair_step(
+    state: EKFState, vns2, swans2, phis2, actives2, q_cov,
+    obs_a: CompactObs, slots_a, mask_a, obs_b: CompactObs, slots_b, mask_b,
+    r_cov, wheel_base, dt, sigma_heading, use_heading: bool,
+    *, interpret: bool = False,
+):
+    """TWO known-association frames with ONE covariance pass
+    (ops.frame_kernel.frame_step_pair); falls back to two sequential
+    ``fused_frame_step`` calls where the pair kernel has no schedule.
+
+    ``vns2``/``swans2``/``phis2``/``actives2`` carry both frames stacked on
+    axis 0 (shape (2, S)).  Requires a static association table between the
+    frames (augment disabled) — the caller guards this.  Returns
+    ``(new_state, pose_trace (2, S, 3), nis (2,), pose_mid (3,))`` where
+    ``pose_mid`` is frame A's post-update pose.
+    """
+    from conan_slam_tpu.ops.frame_kernel import (
+        can_fuse_frame_pair,
+        frame_step_pair,
+    )
+
+    d = state.x.shape[0]
+    nz = obs_a.z.shape[0]
+    cap = state.capacity
+
+    def rows_for(slots):
+        safe = jnp.clip(slots, 0, cap - 1)
+        rows2 = (3 + 2 * safe[:, None] + jnp.arange(2)[None, :]).reshape(-1)
+        return jnp.concatenate([jnp.arange(3, dtype=rows2.dtype), rows2])
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if (on_tpu or interpret) and can_fuse_frame_pair(d, nz):
+        fp = frame_step_pair(
+            state.p, state.x, rows_for(slots_a),
+            (vns2[0], swans2[0], phis2[0], actives2[0]),
+            (obs_a.z[:, 0], obs_a.z[:, 1], mask_a),
+            rows_for(slots_b),
+            (vns2[1], swans2[1], phis2[1], actives2[1]),
+            (obs_b.z[:, 0], obs_b.z[:, 1], mask_b),
+            q_cov, r_cov, wheel_base, dt, sigma_heading, use_heading,
+            interpret=interpret,
+        )
+        new_state = state._replace(x=fp.x, p=fp.p)
+        n_a = jnp.maximum(jnp.sum(mask_a.astype(fp.x.dtype)), 1.0)
+        n_b = jnp.maximum(jnp.sum(mask_b.astype(fp.x.dtype)), 1.0)
+        nis2 = fp.nis / jnp.stack([n_a, n_b])
+        return new_state, fp.pose_trace, nis2, fp.pose_mid
+
+    state1, pt_a, nis_a = fused_frame_step(
+        state, vns2[0], swans2[0], phis2[0], actives2[0], q_cov, obs_a,
+        slots_a, mask_a, r_cov, wheel_base, dt, sigma_heading, use_heading,
+        interpret=interpret,
+    )
+    pose_mid = state1.x[:3]
+    state2, pt_b, nis_b = fused_frame_step(
+        state1, vns2[1], swans2[1], phis2[1], actives2[1], q_cov, obs_b,
+        slots_b, mask_b, r_cov, wheel_base, dt, sigma_heading, use_heading,
+        interpret=interpret,
+    )
+    return (
+        state2,
+        jnp.stack([pt_a, pt_b]),
+        jnp.stack([nis_a, nis_b]),
+        pose_mid,
+    )
+
+
 def fused_frame_update(
     state: EKFState, vmat, bmat, obs: CompactObs, slots, mask, r_cov,
     *, use_pallas: bool = True, return_nis: bool = False,

@@ -1086,23 +1086,23 @@ def _pick_bigchain_tile(d: int, mp: int, rp: int) -> int:
     return 0
 
 
-def _frame_step_big(p, x, rows_full, subs, qc, zin, rsc, nblk, x0rows,
-                    prows, prc, tc, mp, rp, s_steps, wheel_base, dt,
-                    sigma_heading, use_heading, interpret):
-    """Big-D two-dispatch frame step: streaming chain kernel + the generic
-    2-D-tiled rank update (see ``_bigchain_kernel``)."""
-    from conan_slam_tpu.ops.pallas_update import rank_update_t
-
-    d = p.shape[0]
-    f32 = p.dtype
-    x_row = x.reshape(1, d)
+def _chain_dispatch(x_row, subs, qc, zin, rsc, nblk, x0rows, prows, prc,
+                    tc, mp, rp, s_steps, wheel_base, dt, sigma_heading,
+                    use_heading, interpret):
+    """One streaming chain dispatch (``_bigchain_kernel``): everything of a
+    frame EXCEPT the O(D^2) covariance pass.  Consumes only the pre-gathered
+    row strips of the frame-start covariance (prows/prc) and the frame-start
+    mean — NOT P itself — so callers may defer (and batch) the covariance
+    rank pass; returns ``(pht, xn, pt, nis, si, k4)``."""
+    d = prows.shape[1]
+    f32 = prows.dtype
     kernel = functools.partial(
         _bigchain_kernel, tc=tc, s_steps=s_steps,
         wheel_base=float(wheel_base), dt=float(dt),
         sigma_heading=float(sigma_heading), use_heading=use_heading,
     )
     bcast = lambda j: (0, 0)  # noqa: E731
-    pht, xn, pt, nis, si, k4 = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((mp, d), f32),
@@ -1142,9 +1142,14 @@ def _frame_step_big(p, x, rows_full, subs, qc, zin, rsc, nblk, x0rows,
         interpret=interpret,
     )(subs, qc, zin, rsc, nblk, x_row, x0rows, prc, prows)
 
-    # G = [pht; p2; e0; e1; e2] (pad to MP + 8), M = blockdiag(-S^-1, K4):
-    # G M G^T = U K4 U^T - pht^T S^-1 pht, the exact frame update.
-    p2row = p[2:3, :]
+
+def _frame_gm(pht, si, k4, p2row, mp):
+    """Assemble the frame's factored covariance update:
+    G = [pht; p2; e0; e1; e2] (padded to MP + 8), M = blockdiag(-S^-1, K4),
+    so that G^T M G = U K4 U^T - pht^T S^-1 pht — the exact frame update
+    relative to the frame-start covariance."""
+    d = pht.shape[1]
+    f32 = pht.dtype
     e3 = jnp.eye(3, d, dtype=f32)
     gmat = jnp.concatenate(
         [pht, p2row, e3, jnp.zeros((4, d), f32)], axis=0
@@ -1152,6 +1157,23 @@ def _frame_step_big(p, x, rows_full, subs, qc, zin, rsc, nblk, x0rows,
     mmid = jnp.zeros((mp + 8, mp + 8), f32)
     mmid = mmid.at[:mp, :mp].set(-si)
     mmid = mmid.at[mp : mp + 4, mp : mp + 4].set(k4[:4, :4])
+    return gmat, mmid
+
+
+def _frame_step_big(p, x, rows_full, subs, qc, zin, rsc, nblk, x0rows,
+                    prows, prc, tc, mp, rp, s_steps, wheel_base, dt,
+                    sigma_heading, use_heading, interpret):
+    """Big-D two-dispatch frame step: streaming chain kernel + the generic
+    2-D-tiled rank update (see ``_bigchain_kernel``)."""
+    from conan_slam_tpu.ops.pallas_update import rank_update_t
+
+    d = p.shape[0]
+    x_row = x.reshape(1, d)
+    pht, xn, pt, nis, si, k4 = _chain_dispatch(
+        x_row, subs, qc, zin, rsc, nblk, x0rows, prows, prc, tc, mp, rp,
+        s_steps, wheel_base, dt, sigma_heading, use_heading, interpret,
+    )
+    gmat, mmid = _frame_gm(pht, si, k4[:4, :4], p[2:3, :], mp)
     p_out = rank_update_t(p, gmat, mmid, interpret=interpret)
     return FrameStep(p=p_out, x=xn[0], pose_trace=pt, nis=nis[0, 0])
 
@@ -1181,6 +1203,34 @@ def _pick_framestep_tile(d: int, mp: int, rp: int) -> int:
         if fixed + cand * (5 * d + mp) * 4 <= budget:
             return cand
     return 0
+
+
+def _pack_meas(zr, zb, mask, r_cov, nzl, f32):
+    """Pack the per-frame measurement buffer into the kernel layout:
+    ``zin`` (8, NZL) rows [range, bearing, mask, 0...], ``rsc`` (4,) noise
+    entries and the serial-sweep bound ``nblk``."""
+    nz = zr.shape[0]
+    mask_f = mask.astype(f32)
+    zin = jnp.zeros((8, nzl), f32)
+    zin = zin.at[0, :nz].set(jnp.where(mask, zr, 0.0))
+    zin = zin.at[1, :nz].set(jnp.where(mask, zb, 0.0))
+    zin = zin.at[2, :nz].set(mask_f)
+    rsc = jnp.asarray(r_cov, f32).reshape(4)
+    nblk = jnp.max(
+        jnp.where(mask, jnp.arange(1, nz + 1, dtype=jnp.int32), 0)
+    ).reshape(1)
+    return zin, rsc, nblk
+
+
+def _pack_ctrl(vns, swans, phis, actives, q_cov, f32):
+    """Pack the per-sub-step control scalars + control-noise Cholesky."""
+    subs = jnp.stack([
+        vns.astype(f32), swans.astype(f32), phis.astype(f32),
+        actives.astype(f32),
+    ])                                                      # (4, S)
+    q_chol = jnp.linalg.cholesky(q_cov)
+    qc = jnp.stack([q_chol[0, 0], q_chol[1, 0], q_chol[1, 1]])
+    return subs, qc
 
 
 def can_fuse_frame_step(d: int, nz: int) -> bool:
@@ -1233,21 +1283,8 @@ def frame_step(p, x, rows, vns, swans, phis, actives, q_cov,
     rp = _round_up(rows.shape[0], 8)
     f32 = p.dtype
 
-    mask_f = mask.astype(f32)
-    zin = jnp.zeros((8, nzl), f32)
-    zin = zin.at[0, :nz].set(jnp.where(mask, zr, 0.0))
-    zin = zin.at[1, :nz].set(jnp.where(mask, zb, 0.0))
-    zin = zin.at[2, :nz].set(mask_f)
-    rsc = jnp.asarray(r_cov, f32).reshape(4)
-    nblk = jnp.max(
-        jnp.where(mask, jnp.arange(1, nz + 1, dtype=jnp.int32), 0)
-    ).reshape(1)
-    subs = jnp.stack([
-        vns.astype(f32), swans.astype(f32), phis.astype(f32),
-        actives.astype(f32),
-    ])                                                      # (4, S)
-    q_chol = jnp.linalg.cholesky(q_cov)
-    qc = jnp.stack([q_chol[0, 0], q_chol[1, 0], q_chol[1, 1]])
+    zin, rsc, nblk = _pack_meas(zr, zb, mask, r_cov, nzl, f32)
+    subs, qc = _pack_ctrl(vns, swans, phis, actives, q_cov, f32)
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
     use_kernel = on_tpu or interpret
@@ -1346,6 +1383,139 @@ def frame_step(p, x, rows, vns, swans, phis, actives, q_cov,
         interpret=interpret,
     )(subs, qc, zin, rsc, nblk, x_row, x0rows, prows, prc, p)
     return FrameStep(p=p_out, x=xn[0], pose_trace=pt, nis=nis[0, 0])
+
+
+class FramePair(NamedTuple):
+    """Outputs of the fused TWO-frame step (one covariance pass per pair)."""
+
+    p: jax.Array           # (D, D)  covariance after BOTH frames
+    x: jax.Array           # (D,)    state mean after both frames
+    pose_trace: jax.Array  # (2, S, 3) per-frame exact pose traces
+    nis: jax.Array         # (2,)    per-frame stacked NIS
+    pose_mid: jax.Array    # (3,)    frame-A POST-update pose (driver x_est)
+
+
+def can_fuse_frame_pair(d: int, nz: int) -> bool:
+    """Whether ``frame_step_pair`` has a TPU schedule at these shapes."""
+    mp = _round_up(2 * nz, 128)
+    rp = _round_up(3 + 2 * nz, 8)
+    return _pick_bigchain_tile(d, mp, rp) > 0
+
+
+def frame_step_pair(p, x, rows_a, ctrl_a, meas_a, rows_b, ctrl_b, meas_b,
+                    q_cov, r_cov, wheel_base, dt, sigma_heading,
+                    use_heading: bool, *, interpret: bool = False) -> FramePair:
+    """TWO consecutive observation frames with ONE O(D^2) covariance pass.
+
+    The per-frame chain (factor recursion + observe + measurement algebra)
+    never needs the full covariance — only its gathered row strips — and
+    each frame's covariance update is the factored form P += G^T M G
+    (``_frame_gm``).  Frame B's row strips relative to the post-A covariance
+    are therefore reconstructible from small data:
+
+        P_A[rows_B] = P[rows_B] + (G_A[:, rows_B])^T M_A G_A
+
+    so both frames' chains run as streaming dispatches (``_chain_dispatch``)
+    and their updates stack into ONE rank-2(MP+8) pass over P
+    (ops.pallas_update.rank_update_t) — halving the dominant HBM cost
+    (read+write of the dense P) per frame versus ``frame_step``.  The pair
+    is algebraically identical to two sequential ``frame_step`` calls
+    (equivalence pinned in tests/test_fastframe.py); float32 rounding
+    differs only via the reconstructed strips' product order.
+
+    Requires known association with augmentation compiled out (the
+    headline full-map regime): rows_b must be frame-B's slot rows against
+    the SAME table (no augment between the frames).  Reference anchors as
+    ``frame_step`` (EKF.cpp:406-455, 328-352, 93-129; slam.h:235-266).
+
+    Args mirror ``frame_step`` with per-frame tuples:
+      ctrl_* = (vns, swans, phis, actives); meas_* = (zr, zb, mask).
+    """
+    from conan_slam_tpu.ops.pallas_update import rank_update_t
+
+    d = p.shape[0]
+    nz = meas_a[0].shape[0]
+    s_steps = ctrl_a[0].shape[0]
+    mp = _round_up(2 * nz, 128)
+    nzl = mp // 2
+    rp = _round_up(rows_a.shape[0], 8)
+    f32 = p.dtype
+
+    zin_a, rsc, nblk_a = _pack_meas(*meas_a, r_cov, nzl, f32)
+    zin_b, _, nblk_b = _pack_meas(*meas_b, r_cov, nzl, f32)
+    subs_a, qc = _pack_ctrl(*ctrl_a, q_cov, f32)
+    subs_b, _ = _pack_ctrl(*ctrl_b, q_cov, f32)
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    use_kernel = on_tpu or interpret
+    tc = _pick_bigchain_tile(d, mp, rp) if use_kernel else 0
+    if not (use_kernel and tc):
+        # jnp reference: two sequential reference frames.
+        fa = _frame_step_reference(
+            p, x, rows_a, *ctrl_a, q_cov, zin_a, rsc, mp, rp,
+            wheel_base, dt, sigma_heading, use_heading,
+        )
+        fb = _frame_step_reference(
+            fa.p, fa.x, rows_b, *ctrl_b, q_cov, zin_b, rsc, mp, rp,
+            wheel_base, dt, sigma_heading, use_heading,
+        )
+        return FramePair(
+            p=fb.p, x=fb.x,
+            pose_trace=jnp.stack([fa.pose_trace, fb.pose_trace]),
+            nis=jnp.stack([fa.nis, fb.nis]),
+            pose_mid=fa.x[:3],
+        )
+
+    nr = rows_a.shape[0]
+    pad = jnp.zeros((rp - nr,), rows_a.dtype)
+    rows_af = jnp.concatenate([rows_a, pad])
+    rows_bf = jnp.concatenate([rows_b, pad])
+
+    # --- frame A chain against the frame-start strips ---
+    prows_a = p[rows_af]                                    # (RP, D)
+    prc_a = prows_a[:, rows_af]
+    x_row = x.reshape(1, d)
+    x0rows_a = x[rows_af].reshape(1, rp)
+    pht_a, xn_a, pt_a, nis_a, si_a, k4_a = _chain_dispatch(
+        x_row, subs_a, qc, zin_a, rsc, nblk_a, x0rows_a, prows_a, prc_a,
+        tc, mp, rp, s_steps, wheel_base, dt, sigma_heading, use_heading,
+        interpret,
+    )
+    g_a, m_a = _frame_gm(pht_a, si_a, k4_a, p[2:3, :], mp)
+
+    # --- frame B strips relative to P_A, reconstructed from (G_A, M_A) ---
+    y_a = jnp.matmul(m_a, g_a, precision=PRECISION)         # (MP+8, D)
+    ga_cols = g_a[:, rows_bf]                               # (MP+8, RP)
+    corr_b = jnp.matmul(
+        jnp.transpose(ga_cols), y_a, precision=PRECISION
+    )                                                       # (RP, D)
+    prows_b = p[rows_bf] + corr_b
+    prc_b = prows_b[:, rows_bf]
+    x0rows_b = xn_a[0, rows_bf].reshape(1, rp)
+    pht_b, xn_b, pt_b, nis_b, si_b, k4_b = _chain_dispatch(
+        xn_a, subs_b, qc, zin_b, rsc, nblk_b, x0rows_b, prows_b, prc_b,
+        tc, mp, rp, s_steps, wheel_base, dt, sigma_heading, use_heading,
+        interpret,
+    )
+    g_b, m_b = _frame_gm(pht_b, si_b, k4_b, prows_b[2:3, :], mp)
+
+    # --- ONE stacked rank pass applies both frames' updates to P ---
+    r1 = mp + 8
+    gmat = jnp.concatenate([g_a, g_b], axis=0)              # (2(MP+8), D)
+    mmid = jnp.zeros((2 * r1, 2 * r1), f32)
+    mmid = mmid.at[:r1, :r1].set(m_a)
+    mmid = mmid.at[r1:, r1:].set(m_b)
+    # Known-association consumer: the long-horizon ate gate validates the
+    # fast product tier for this path, so the stacked pass opts into it
+    # (rank_update_t's default follows the GATED-path safe tier).
+    p_out = rank_update_t(p, gmat, mmid, interpret=interpret,
+                          mode=_PANEL_MODE)
+    return FramePair(
+        p=p_out, x=xn_b[0],
+        pose_trace=jnp.stack([pt_a, pt_b]),
+        nis=jnp.stack([nis_a[0, 0], nis_b[0, 0]]),
+        pose_mid=xn_a[0, :3],
+    )
 
 
 def _frame_step_reference(p, x, rows, vns, swans, phis, actives, q_cov,

@@ -47,7 +47,8 @@ def rank_update_t_reference(p, vt, b):
     )
 
 
-def rank_update_t(p, vt, b, *, interpret: bool = False):
+def rank_update_t(p, vt, b, *, interpret: bool = False,
+                  mode: str | None = None):
     """Fused P + Vt^T B Vt with the factors given as ROW strips Vt (r, D).
 
     The fused measurement update produces its factor strips row-major
@@ -55,6 +56,11 @@ def rank_update_t(p, vt, b, *, interpret: bool = False):
     consumes them directly — no (D, r) concatenation or D-sized transposes.
     vbT = B Vt is one small MXU matmul; each (tr, D) output panel is then
     p_panel + Vt[:, panel]^T vbT with the strips resident in VMEM.
+
+    ``mode`` overrides the panel-precision tier for THIS call (None follows
+    FK_PANEL_PRECISION_SAFE, the gated-path default).  Only pass a fast
+    split tier from consumers a long-horizon gate has validated — see the
+    precision policy in ops.frame_kernel.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -92,7 +98,7 @@ def rank_update_t(p, vt, b, *, interpret: bool = False):
     # decomposition happens ONCE here (XLA level) and the kernel consumes
     # four bf16 strips — no per-panel conversion of loop-invariant operands,
     # and half the strip DMA.
-    split = panel_split_enabled()
+    split = panel_split_enabled(mode)
     if split:
         vt_h, vt_l = split_hi_lo(vt)
         vbt_h, vbt_l = split_hi_lo(vbt)
@@ -100,10 +106,12 @@ def rank_update_t(p, vt, b, *, interpret: bool = False):
 
         from conan_slam_tpu.ops.frame_kernel import _SAFE_MODE
 
+        split_mode = _SAFE_MODE if mode is None else mode
+
         def kernel(p_ref, vth_ref, vtl_ref, vbh_ref, vbl_ref, out_ref):
             out_ref[:, :] = p_ref[:, :] + panel_dot_split(
                 vth_ref[:, :], vtl_ref[:, :], vbh_ref[:, :], vbl_ref[:, :],
-                (((0,), (0,)), ((), ())), mode=_SAFE_MODE,
+                (((0,), (0,)), ((), ())), mode=split_mode,
             )
     else:
         strips = (vt, vbt)
@@ -111,7 +119,7 @@ def rank_update_t(p, vt, b, *, interpret: bool = False):
         def kernel(p_ref, vt_ref, vbt_ref, out_ref):
             out_ref[:, :] = p_ref[:, :] + panel_dot(
                 vt_ref[:, :], vbt_ref[:, :],
-                (((0,), (0,)), ((), ())),
+                (((0,), (0,)), ((), ())), mode=mode,
             )
 
     n_strips = len(strips)

@@ -220,6 +220,67 @@ def ekf_precomp_frame_step(state, frame, *, cfg: SlamConfig, world: World, noise
     return state, outs
 
 
+def ekf_precomp_pair_step(state, pair, *, cfg: SlamConfig, world: World,
+                          noise: NoiseCovs):
+    """TWO consecutive frames per scan iteration with ONE covariance pass
+    (filters.ekf.fused_frame_pair_step).  Same math as two
+    ``ekf_precomp_frame_step`` iterations; requires known association with
+    augment compiled out (static table between the frames)."""
+    (x_true_f, swa_f, active_f, done_f, ctrl_noise_f,
+     z_true_f, ids_f, zmask_f, obs_noise_f) = pair          # leading dim 2
+
+    if cfg.switch_control_noise:
+        vns2 = cfg.velocity + ctrl_noise_f[:, :, 0] * cfg.sigma_v
+        swans2 = swa_f + ctrl_noise_f[:, :, 1] * cfg.sigma_swa
+    else:
+        vns2 = jnp.full_like(swa_f, cfg.velocity)
+        swans2 = swa_f
+
+    z2 = z_true_f
+    if cfg.switch_sensor_noise:
+        scale = jnp.asarray([cfg.sigma_r, cfg.sigma_b], z2.dtype)
+        z2 = z2 + obs_noise_f * scale
+    from conan_slam_tpu.filters.common import CompactObs
+
+    def obs_of(k):
+        return CompactObs(
+            z=jnp.where(zmask_f[k][:, None], z2[k], 0.0),
+            ids=ids_f[k], mask=zmask_f[k],
+        )
+
+    obs_a, obs_b = obs_of(0), obs_of(1)
+    assoc_a = ekf_mod.associate_known(state, obs_a)
+    assoc_b = ekf_mod.associate_known(state, obs_b)
+    mask_a = jnp.logical_and(
+        assoc_a.known_mask, jnp.logical_not(done_f[0, -1])
+    )
+    mask_b = jnp.logical_and(
+        assoc_b.known_mask, jnp.logical_not(done_f[1, -1])
+    )
+    state, pt2, nis2, pose_mid = ekf_mod.fused_frame_pair_step(
+        state, vns2, swans2, x_true_f[:, :, 2], active_f, noise.qe,
+        obs_a, assoc_a.slots, mask_a, obs_b, assoc_b.slots, mask_b,
+        noise.re, cfg.wheel_base, cfg.dt_controls, cfg.sigma_heading,
+        cfg.switch_heading_known,
+    )
+
+    interval = x_true_f.shape[1]
+    x_est = pt2.at[0, -1].set(pose_mid).at[1, -1].set(state.x[:3])
+    cons = (
+        jnp.zeros((2, interval), jnp.float32)
+        .at[0, -1].set(nis2[0])
+        .at[1, -1].set(nis2[1])
+    )
+    outs = SimOutputs(
+        x_true=x_true_f.reshape(2 * interval, 3),
+        x_est=x_est.reshape(2 * interval, 3),
+        done=done_f.reshape(2 * interval),
+        n_active=jnp.broadcast_to(state.n_active, (2 * interval,)),
+        consistency=cons.reshape(2 * interval),
+    )
+    return state, outs
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "n_steps"), donate_argnums=())
 def _run_precomp(world, cfg, key, truth_dev, obs_dev, n_steps, init_state):
     interval = cfg.observe_interval
@@ -243,11 +304,35 @@ def _run_precomp(world, cfg, key, truth_dev, obs_dev, n_steps, init_state):
         obs_noise,
     )
     noise = make_noise(cfg, "ekf")
-    step = functools.partial(ekf_precomp_frame_step, cfg=cfg, world=world, noise=noise)
-    with jax.default_matmul_precision("highest"):
-        state, outs = jax.lax.scan(
-            step, init_state, frames, unroll=min(cfg.scan_unroll, n_frames)
+    use_pair = (
+        cfg.frame_pair
+        and cfg.switch_association_known
+        and not cfg.enable_augment
+        and cfg.fast_frame
+        and cfg.fused_obs
+        and cfg.switch_batch_update
+        and n_frames % 2 == 0
+    )
+    if use_pair:
+        pairs = jax.tree_util.tree_map(
+            lambda a: a.reshape((n_frames // 2, 2) + a.shape[1:]), frames
         )
+        step = functools.partial(
+            ekf_precomp_pair_step, cfg=cfg, world=world, noise=noise
+        )
+        with jax.default_matmul_precision("highest"):
+            state, outs = jax.lax.scan(
+                step, init_state, pairs,
+                unroll=min(cfg.scan_unroll, n_frames // 2),
+            )
+    else:
+        step = functools.partial(
+            ekf_precomp_frame_step, cfg=cfg, world=world, noise=noise
+        )
+        with jax.default_matmul_precision("highest"):
+            state, outs = jax.lax.scan(
+                step, init_state, frames, unroll=min(cfg.scan_unroll, n_frames)
+            )
     outs = jax.tree_util.tree_map(
         lambda x: x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:]), outs
     )

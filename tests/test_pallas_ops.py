@@ -482,3 +482,88 @@ def test_frame_step_big_schedule_matches_resident():
         np.testing.assert_allclose(
             float(big.nis), float(ref.nis), rtol=1e-3, atol=1e-5
         )
+
+
+def _pair_second_frame(x_post_a, capacity, nz, seed):
+    """Frame-B inputs for the pair test: fresh controls and measurements of
+    (possibly different) slots against the SAME association table.
+    Measurements and heading observations are generated against the POST-
+    frame-A state so innovations sit at the realistic noise scale (frame-B
+    errors are proportional to update magnitude; a pathological-NIS frame
+    only measures conditioning amplification, not the algebra)."""
+    rng = np.random.default_rng(seed)
+    s = 6
+    vns = jnp.asarray(83.33 + rng.normal(size=s).astype(np.float32) * 0.3)
+    swans = jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.02)
+    xs = np.asarray(x_post_a)
+    phis = jnp.asarray(
+        xs[2] + rng.normal(size=s).astype(np.float32) * 0.01
+    )
+    active = jnp.ones((s,), bool)
+    ids = rng.choice(int(capacity), size=nz, replace=False).astype(np.int32)
+    fx = xs[3 + 2 * ids] - xs[0]
+    fy = xs[4 + 2 * ids] - xs[1]
+    zr = (np.hypot(fx, fy) + rng.normal(size=nz) * 0.1).astype(np.float32)
+    zb = (np.arctan2(fy, fx) - xs[2] + rng.normal(size=nz) * 0.01).astype(
+        np.float32
+    )
+    mask = np.ones(nz, bool)
+    mask[0] = False
+    rows = np.concatenate(
+        [np.arange(3), (3 + 2 * ids[:, None] + np.arange(2)).reshape(-1)]
+    ).astype(np.int32)
+    return (vns, swans, phis, active), (jnp.asarray(zr), jnp.asarray(zb),
+                                        jnp.asarray(mask)), jnp.asarray(rows)
+
+
+def test_frame_step_pair_matches_sequential_frames():
+    # The fused two-frame step (2 chain dispatches + ONE stacked rank pass,
+    # frame-B strips reconstructed from G_A/M_A) vs two sequential
+    # frame_step calls — identical algebra; rounding differs only through
+    # the reconstructed strips' product order.
+    from conan_slam_tpu.ops.frame_kernel import frame_step, frame_step_pair
+
+    for use_heading, seed in ((True, 71), (False, 73)):
+        state, obs, slots, mask, r_cov, fargs = _frame_step_problem(seed=seed)
+        vns, swans, phis, active, q = fargs
+        safe = np.clip(np.asarray(slots), 0, state.capacity - 1)
+        rows_a = np.concatenate(
+            [np.arange(3), (3 + 2 * safe[:, None] + np.arange(2)).reshape(-1)]
+        ).astype(np.int32)
+        fa = frame_step(
+            state.p, state.x, jnp.asarray(rows_a), vns, swans, phis, active,
+            q, obs.z[:, 0], obs.z[:, 1], mask, r_cov, 73.0, 0.01,
+            0.01 * np.pi / 180, use_heading,
+        )
+        ctrl_b, meas_b, rows_b = _pair_second_frame(
+            fa.x, state.capacity, obs.z.shape[0], seed + 100
+        )
+        fb = frame_step(
+            fa.p, fa.x, rows_b, *ctrl_b, q, *meas_b, r_cov, 73.0, 0.01,
+            0.01 * np.pi / 180, use_heading,
+        )
+
+        pair = frame_step_pair(
+            state.p, state.x, jnp.asarray(rows_a),
+            (vns, swans, phis, active), (obs.z[:, 0], obs.z[:, 1], mask),
+            rows_b, ctrl_b, meas_b, q, r_cov, 73.0, 0.01,
+            0.01 * np.pi / 180, use_heading, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(pair.pose_trace[0]), np.asarray(fa.pose_trace),
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(pair.pose_trace[1]), np.asarray(fb.pose_trace),
+            rtol=1e-4, atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(pair.x), np.asarray(fb.x), rtol=1e-4, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(pair.p), np.asarray(fb.p), rtol=1e-3, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(pair.nis),
+            np.asarray([float(fa.nis), float(fb.nis)]), rtol=1e-3, atol=1e-5,
+        )
