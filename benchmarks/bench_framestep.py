@@ -208,6 +208,18 @@ def main(modes):
     rng = np.random.default_rng(0)
     d = state0.x.shape[0]
 
+    if "fullpair" in modes:
+        # The real precomputed driver with two-frame fusion on.
+        cfg_p = cfg.replace(frame_pair=True)
+        st_p = ekf_mod.init_state_with_map(world.landmarks, sigma0=SIGMA0)
+
+        def fullpair(key):
+            state, outs = run_ekf_slam_precomputed(
+                world, cfg_p, key, n_steps=BENCH_STEPS, init_state=st_p
+            )
+            return outs.x_est
+        timeit("fullpair", fullpair, key)
+
     for mode in modes:
         if not (mode == "full" or mode.startswith("full_u")):
             continue
