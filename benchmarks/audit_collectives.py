@@ -40,7 +40,8 @@ def log(*a):
 
 
 _DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4, "pred": 1,
-                "f64": 8, "s8": 1, "u8": 1, "s64": 8, "u64": 8}
+                "f64": 8, "s8": 1, "u8": 1, "s64": 8, "u64": 8,
+                "s16": 2, "u16": 2}
 
 _COLLECTIVES = ("all-gather", "all-reduce", "collective-permute", "all-to-all",
                 "reduce-scatter")
@@ -93,7 +94,8 @@ def main():
 
     assert len(jax.devices()) >= _N_DEV, jax.devices()
     mesh = make_mesh({STATE_AXIS: _N_DEV})
-    cfg = SlamConfig(max_landmarks=_N_LM, max_obs=_N_OBS)
+    cfg = SlamConfig(max_landmarks=_N_LM, max_obs=_N_OBS,
+                     dist_gain_wire=os.environ.get("AUDIT_GAIN_WIRE", "f32"))
     world = default_world()
     if _N_LM > world.num_landmarks:
         # Large-map audits need enough world landmarks to fill the obs buffer.

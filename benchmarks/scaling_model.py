@@ -38,15 +38,20 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# --- audited constants (AUDIT_LANDMARKS=10240 AUDIT_OBS=64, 2026-08-20) ---
+# --- audited constants (AUDIT_LANDMARKS=10240 AUDIT_OBS=64, 2026-08-21) ---
 D_10K = 20736            # padded state dim at 10,240 landmarks
-AG_BYTES = 11_155_968    # all-gather bytes/frame (gain strip m x D + heading)
-AR_BYTES = 315_120       # all-reduce bytes/frame (partial S, innovations)
+AG_BYTES = 11_155_968    # all-gather bytes/frame, f32 gain wire
+AG_BYTES_I16 = 5_474_304  # all-gather bytes/frame, i16 gain wire (halved)
+AR_BYTES = 316_500       # all-reduce bytes/frame (partial S, innovations)
 M_ROWS = 128             # stacked measurement rows (2 * 64)
 
-# --- measured single-chip decomposition (bench_framestep, D=2304) ---
-T_SERIAL = 110e-6        # frame minus the P panel pass: chain + sweep + glue
-HBM_BW = 8.1e11          # v5e HBM bytes/s
+# --- measured single-chip decomposition (bench_framestep, round 5) ---
+# Serial tail = chain dispatch measured standalone at D=2304 ("chainonly"
+# 53 us at nv=64 incl. its streaming grid; the dist kernel's replicated
+# chain work is the same O(m^2 + m*Dp/N-free) algebra and the old 140-us
+# XLA chol+triangular chain is replaced by the sweep since round 5).
+T_SERIAL = 60e-6         # frame minus the P panel pass: chain + sweep + glue
+HBM_BW = 8.1e11          # v5e HBM bytes/s (datasheet; conservative)
 ICI_LINK = 4.5e10        # v5e ICI bytes/s per link per direction
 
 
@@ -76,32 +81,43 @@ def model(d, ag, ar, n, wire="bidir", overlap=False):
 
 
 def main():
-    d, ag, ar = D_10K, AG_BYTES, AR_BYTES
+    d, ar = D_10K, AR_BYTES
+    wires = {"f32": AG_BYTES, "i16": AG_BYTES_I16}
     if "--audit" in sys.argv:
-        ag, ar, d = run_audit(8)
-        ag16, ar16, _ = run_audit(16)
-        assert (ag, ar) == (ag16, ar16), (
-            "collective output bytes must be mesh-size independent",
-            (ag, ar), (ag16, ar16))
+        for mode in ("f32", "i16"):
+            os.environ["AUDIT_GAIN_WIRE"] = mode
+            ag8, ar8, d = run_audit(8)
+            for n_dev in (16, 32):
+                agn, arn, _ = run_audit(n_dev)
+                assert (ag8, ar8) == (agn, arn), (
+                    "collective output bytes must be mesh-size independent",
+                    n_dev, (ag8, ar8), (agn, arn))
+            wires[mode] = ag8
+            ar = ar8
     print(f"# Scaling-efficiency prediction, 10,240 landmarks "
           f"(D={d}, m={M_ROWS})")
-    print(f"# audited: all-gather {ag:,} B/frame, all-reduce {ar:,} B/frame")
+    print(f"# audited: all-gather f32 {wires['f32']:,} / i16 "
+          f"{wires['i16']:,} B/frame, all-reduce {ar:,} B/frame")
     print(f"# model: t_serial={T_SERIAL*1e6:.0f}us, HBM {HBM_BW:.2g} B/s, "
           f"ICI {ICI_LINK:.2g} B/s/link/dir")
-    t1 = model(d, ag, ar, 1)
+    t1 = model(d, wires["f32"], ar, 1)
     print(f"# single chip: {t1*1e3:.2f} ms/frame "
           f"({6/t1:,.0f} control steps/s)")
-    print("| chips | unidir no-overlap | bidir no-overlap | bidir overlap | "
-          "steps/s (bidir+overlap) |")
-    print("|---|---|---|---|---|")
-    for n in (2, 4, 8, 16, 32):
-        effs = []
-        for wire, ov in (("uni", False), ("bidir", False), ("bidir", True)):
-            tn = model(d, ag, ar, n, wire, ov)
-            effs.append(t1 / (n * tn))
-        tn = model(d, ag, ar, n, "bidir", True)
-        print(f"| {n} | {effs[0]:.2f} | {effs[1]:.2f} | {effs[2]:.2f} | "
-              f"{6/tn:,.0f} |")
+    for wire_mode, ag in wires.items():
+        print(f"\n## gain wire = {wire_mode} "
+              f"({'cfg.dist_gain_wire' if wire_mode == 'i16' else 'default'})")
+        print("| chips | unidir no-overlap | bidir no-overlap | "
+              "bidir overlap | steps/s (bidir+overlap) |")
+        print("|---|---|---|---|---|")
+        for n in (2, 4, 8, 16, 32):
+            effs = []
+            for wire, ov in (("uni", False), ("bidir", False),
+                             ("bidir", True)):
+                tn = model(d, ag, ar, n, wire, ov)
+                effs.append(t1 / (n * tn))
+            tn = model(d, ag, ar, n, "bidir", True)
+            print(f"| {n} | {effs[0]:.2f} | {effs[1]:.2f} | {effs[2]:.2f} | "
+                  f"{6/tn:,.0f} |")
 
 
 if __name__ == "__main__":

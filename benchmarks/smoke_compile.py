@@ -219,6 +219,51 @@ def stage_gated() -> None:
     log("stage gated: PASS")
 
 
+def stage_gated_full() -> None:
+    """FULL-LENGTH gated regression canary (VERDICT r4 gap 3): the entire
+    25,000-step config-2 tour with stored accuracy/mapping bounds.
+
+    This is the tripwire for the recorded round-4 failure class: split-tier
+    panels in the gated kernels pass every shorter stage (including the
+    3,000-step "gated" stage) and only corrupt association over the full
+    tour (ATE 0.152 -> 11.4 m, mapped 302 -> 274).  Canonical full-course
+    values: ATE ~= 0.15 m, mapped ~= 302/500; the bounds below fail the
+    stage when FK_PANEL_PRECISION_SAFE=split4 is forced (verified) while
+    passing the fp32-contract default with wide margin.  ~1 s device time;
+    the program is the same one bench_gated.py compiles (warm via
+    .jax_bench_cache)."""
+    import jax
+
+    from conan_slam_tpu.config import SlamConfig
+    from conan_slam_tpu.runner import metrics
+    from conan_slam_tpu.runner.loop import run_ekf_slam_precomputed
+    from conan_slam_tpu.sim.world import default_world, random_world
+
+    world = random_world(jax.random.PRNGKey(7), 500)._replace(
+        waypoints=default_world().waypoints
+    )
+    cfg = SlamConfig(max_landmarks=500, max_obs=64,
+                     switch_association_known=False)
+    t0 = time.perf_counter()
+    state, outs = run_ekf_slam_precomputed(
+        world, cfg, jax.random.PRNGKey(0), n_steps=25_000
+    )
+    ate = float(metrics.ate_rmse(outs.x_true, outs.x_est, ~outs.done))
+    mapped = int(state.n_active)
+    log(f"gated_full compile+run (25k steps): {time.perf_counter() - t0:.1f}s, "
+        f"ATE={ate:.3f} m, mapped={mapped}")
+    assert np.all(np.isfinite(np.asarray(state.x)))
+    assert ate < 0.5, (
+        f"gated full-course ATE {ate:.3f} m (bound 0.5; canonical ~0.15) — "
+        "association corrupting over the long horizon"
+    )
+    assert 270 <= mapped <= 340, (
+        f"gated full-course mapped count {mapped} outside stored bounds "
+        "[270, 340] (canonical ~302) — association/augment regression"
+    )
+    log("stage gated_full: PASS")
+
+
 def stage_longloop() -> None:
     """The 5k-landmark program (D = 10,240): asserts the resident megakernel
     schedules correctly refuse this shape while the big-D streaming pair
@@ -283,6 +328,7 @@ _STAGES = {
     "program": stage_program,
     "ate": stage_ate,
     "gated": stage_gated,
+    "gated_full": stage_gated_full,
     "longloop": stage_longloop,
     "pf": stage_pf,
 }

@@ -123,6 +123,11 @@ class SlamConfig:
     # regime); the precomputed driver falls back to per-frame stepping
     # when the preconditions don't hold.
     frame_pair: bool = False
+    # Wire format of the distributed frame's (m, Dp) whitened-gain
+    # all-gather (88% of per-frame collective bytes): "f32" exact, or
+    # "i16" per-row-scaled int16 — halves the dominant wire term with a
+    # symmetric (Gram-preserving) decode; see parallel.dist_fastframe.
+    dist_gain_wire: str = "f32"
 
     @property
     def num_effective(self) -> float:

@@ -43,6 +43,19 @@ def safe_cholesky(s, jitter: float = 0.0):
     return jnp.where(finite, chol, jnp.zeros_like(chol))
 
 
+def chol2(m):
+    """Closed-form lower Cholesky of a (2, 2) SPD matrix (scalar arithmetic
+    — no LAPACK custom call; matters inside per-frame scan bodies, where
+    XLA does not hoist loop-invariant factorizations out of while loops)."""
+    l00 = jnp.sqrt(m[0, 0])
+    l10 = m[1, 0] / l00
+    l11 = jnp.sqrt(jnp.maximum(m[1, 1] - l10 * l10, 0.0))
+    z = jnp.zeros_like(l00)
+    return jnp.stack([
+        jnp.stack([l00, z]), jnp.stack([l10, l11]),
+    ])
+
+
 def inv2(m):
     """Closed-form inverse of (..., 2, 2) matrices (VPU-only, no LU)."""
     a = m[..., 0, 0]

@@ -107,7 +107,9 @@ def _frame_core(
     actual recursion): applies the map mean correction and expands the
     coefficient columns against P0 e2 into the dense (D, r) factor matrix.
     """
-    q_chol = jnp.linalg.cholesky(q_cov)
+    from conan_slam_tpu.core.linalg import chol2
+
+    q_chol = chol2(q_cov)
     p2_0 = state.p[:, 2]
     pose, pose_trace, corr0, cmat, bmat = coeff_frame_core(
         state.pose, p2_0[:3], p2_0[2], vns, swans, phi_meas, active,

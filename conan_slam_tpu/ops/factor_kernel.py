@@ -299,7 +299,9 @@ def frame_factors_fused(state, vns, swans, phi_meas, active, q_cov,
         vns.astype(f32), swans.astype(f32), phi_meas.astype(f32),
         active.astype(f32),
     ])                                                   # (4, S)
-    q_chol = jnp.linalg.cholesky(q_cov)
+    from conan_slam_tpu.core.linalg import chol2
+
+    q_chol = chol2(q_cov)
     qc = jnp.stack([q_chol[0, 0], q_chol[1, 0], q_chol[1, 1]])
     x0 = state.x.reshape(1, d)
     p2row = state.p[2:3, :]

@@ -666,7 +666,15 @@ def _framestep_kernel(subs_ref, qc_ref, zin_ref, rsc_ref, nblk_ref,
     # the fast tier by the long-horizon ate gate — see _PANEL_MODE notes.
     split = panel_split_enabled(_PANEL_MODE)
     if split:
-        phtth_scr, phttl_scr, sih_scr, sil_scr, fr_scr, p2c_scr, s_scr = scr
+        # K-STACKED split layout (see rank_update_t): ONE (D, nT*MP) bf16
+        # scratch in lane order [hi, lo, hi(, lo)] serves BOTH panel
+        # products — against si rows [sih; sih; sil(; sil)] it yields
+        # ah bh + al bh + ah bl (+ al bl), and as the B operand of the
+        # downdate against w lanes [wh, wh, wl(, wl)] it yields the same
+        # cross terms — so each product is ONE MXU dot with internal
+        # accumulation (no per-panel f32 temps or VPU adds; measured
+        # -13.5 us/pass at rank 288 on the standalone rank kernel).
+        pht3_scr, si3_scr, fr_scr, p2c_scr, s_scr = scr
     else:
         phtt_scr, si_scr, fr_scr, p2c_scr, s_scr = scr
 
@@ -786,8 +794,8 @@ def _framestep_kernel(subs_ref, qc_ref, zin_ref, rsc_ref, nblk_ref,
         phtT = pht.T
         if split:
             hi, lo = split_hi_lo(phtT)
-            phtth_scr[:, :] = hi
-            phttl_scr[:, :] = lo
+            parts = [hi, lo, hi] if _PANEL_MODE == "split3" else [hi, lo, hi, lo]
+            pht3_scr[:, :] = jnp.concatenate(parts, axis=1)
         else:
             phtt_scr[:, :] = phtT
         psub = (
@@ -810,8 +818,11 @@ def _framestep_kernel(subs_ref, qc_ref, zin_ref, rsc_ref, nblk_ref,
         si = _sweep_si(s, s_scr, nblk=nblk_ref[0])
         if split:
             sih, sil = split_hi_lo(si)
-            sih_scr[:, :] = sih
-            sil_scr[:, :] = sil
+            sparts = (
+                [sih, sih, sil] if _PANEL_MODE == "split3"
+                else [sih, sih, sil, sil]
+            )
+            si3_scr[:, :] = jnp.concatenate(sparts, axis=0)
         else:
             si_scr[:, :] = si
         siv = jax.lax.dot_general(
@@ -845,16 +856,19 @@ def _framestep_kernel(subs_ref, qc_ref, zin_ref, rsc_ref, nblk_ref,
         nis_ref[0, 0] = jnp.sum(siv * v2)
 
     if split:
-        ph = phtth_scr[pl.ds(i * tr, tr), :]
-        plo = phttl_scr[pl.ds(i * tr, tr), :]
-        wsi = panel_dot_split(
-            ph, plo, sih_scr[:, :], sil_scr[:, :], (((1,), (0,)), ((), ())),
-            mode=_PANEL_MODE,
+        a3 = pht3_scr[pl.ds(i * tr, tr), :]                 # (tr, nT*MP)
+        wsi = jax.lax.dot_general(
+            a3, si3_scr[:, :], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+            precision=jax.lax.Precision.DEFAULT,
         )                                                   # (tr, MP)
         wh, wl = split_hi_lo(wsi)
-        down = panel_dot_split(
-            wh, wl, phtth_scr[:, :], phttl_scr[:, :], (((1,), (1,)), ((), ())),
-            mode=_PANEL_MODE,
+        wparts = [wh, wh, wl] if _PANEL_MODE == "split3" else [wh, wh, wl, wl]
+        w3 = jnp.concatenate(wparts, axis=1)                # (tr, nT*MP)
+        down = jax.lax.dot_general(
+            w3, pht3_scr[:, :], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+            precision=jax.lax.Precision.DEFAULT,
         )                                                   # (tr, D)
     else:
         wsi = panel_dot(
@@ -1193,7 +1207,11 @@ def _pick_framestep_tile(d: int, mp: int, rp: int) -> int:
     if d % 128:
         return 0
     budget = _FK_VMEM_BUDGET
-    fixed = (rp + 3 * mp + 16 + 8 + 2 + 128) * d * 4
+    # Rows-of-D resident: prows (rp) + the step-0 f32 pht temp (mp) + the
+    # K-stacked split scratch (d, nT*mp) bf16 = nT/2*mp f32-equivalent
+    # (<= 2mp at split4) + fr (16) + m8 (8) + x0/xn (2) + the lane-padded
+    # p2 column (128).
+    fixed = (rp + 3 * mp + mp // 2 + 16 + 8 + 2 + 128) * d * 4
     fixed += (4 * mp * mp + rp * rp + 2 * mp * rp) * 4
     fixed += (2 * mp * rp + mp * mp) * 4
     fixed += (2 * rp + mp // 2 * 8 + 16 * rp) * 4
@@ -1223,13 +1241,20 @@ def _pack_meas(zr, zb, mask, r_cov, nzl, f32):
 
 
 def _pack_ctrl(vns, swans, phis, actives, q_cov, f32):
-    """Pack the per-sub-step control scalars + control-noise Cholesky."""
+    """Pack the per-sub-step control scalars + control-noise Cholesky.
+
+    The 2x2 Cholesky is closed-form scalar arithmetic — this runs INSIDE
+    the per-frame scan body (XLA does not hoist loop-invariant work out of
+    while bodies), and a LAPACK-style ``jnp.linalg.cholesky`` custom call
+    on a 2x2 costs dispatch latency every frame."""
     subs = jnp.stack([
         vns.astype(f32), swans.astype(f32), phis.astype(f32),
         actives.astype(f32),
     ])                                                      # (4, S)
-    q_chol = jnp.linalg.cholesky(q_cov)
-    qc = jnp.stack([q_chol[0, 0], q_chol[1, 0], q_chol[1, 1]])
+    l00 = jnp.sqrt(q_cov[0, 0])
+    l10 = q_cov[1, 0] / l00
+    l11 = jnp.sqrt(jnp.maximum(q_cov[1, 1] - l10 * l10, 0.0))
+    qc = jnp.stack([l00, l10, l11]).astype(f32)
     return subs, qc
 
 
@@ -1362,10 +1387,16 @@ def frame_step(p, x, rows, vns, swans, phis, actives, q_cov,
         scratch_shapes=(
             (
                 [
-                    pltpu.VMEM((d, mp), jnp.bfloat16),   # phtT hi
-                    pltpu.VMEM((d, mp), jnp.bfloat16),   # phtT lo
-                    pltpu.VMEM((mp, mp), jnp.bfloat16),  # S^-1 hi
-                    pltpu.VMEM((mp, mp), jnp.bfloat16),  # S^-1 lo
+                    # K-stacked split strips: [hi, lo, hi(, lo)] lanes /
+                    # [sih; sih; sil(; sil)] rows — see _framestep_kernel.
+                    pltpu.VMEM(
+                        (d, (3 if _PANEL_MODE == "split3" else 4) * mp),
+                        jnp.bfloat16,
+                    ),
+                    pltpu.VMEM(
+                        ((3 if _PANEL_MODE == "split3" else 4) * mp, mp),
+                        jnp.bfloat16,
+                    ),
                 ]
                 if panel_split_enabled(_PANEL_MODE)
                 else [

@@ -70,7 +70,6 @@ def rank_update_t(p, vt, b, *, interpret: bool = False,
 
     from conan_slam_tpu.ops.frame_kernel import (
         panel_dot,
-        panel_dot_split,
         panel_split_enabled,
         split_hi_lo,
     )
@@ -100,21 +99,35 @@ def rank_update_t(p, vt, b, *, interpret: bool = False,
     # and half the strip DMA.
     split = panel_split_enabled(mode)
     if split:
-        vt_h, vt_l = split_hi_lo(vt)
-        vbt_h, vbt_l = split_hi_lo(vbt)
-        strips = (vt_h, vt_l, vbt_h, vbt_l)
-
         from conan_slam_tpu.ops.frame_kernel import _SAFE_MODE
 
         split_mode = _SAFE_MODE if mode is None else mode
+        vt_h, vt_l = split_hi_lo(vt)
+        vbt_h, vbt_l = split_hi_lo(vbt)
+        # K-STACKED split product (measured -13.5 us/pass at rank 288,
+        # D=2304 vs the multi-dot form): the cross terms ride ONE matmul's
+        # K dimension — [ah; ah; al] x [bh; bl; bh] for split3 (+ [al]/[bl]
+        # for split4) — so the MXU accumulates them internally and the
+        # per-panel f32 temps + VPU adds of the 3-dot form disappear.
+        if split_mode == "split3":
+            vt_s = jnp.concatenate([vt_h, vt_h, vt_l], axis=0)
+            vbt_s = jnp.concatenate([vbt_h, vbt_l, vbt_h], axis=0)
+        else:
+            vt_s = jnp.concatenate([vt_h, vt_h, vt_l, vt_l], axis=0)
+            vbt_s = jnp.concatenate([vbt_h, vbt_l, vbt_h, vbt_l], axis=0)
+        strips = (vt_s, vbt_s)
+        km = vt_s.shape[0]
 
-        def kernel(p_ref, vth_ref, vtl_ref, vbh_ref, vbl_ref, out_ref):
-            out_ref[:, :] = p_ref[:, :] + panel_dot_split(
-                vth_ref[:, :], vtl_ref[:, :], vbh_ref[:, :], vbl_ref[:, :],
-                (((0,), (0,)), ((), ())), mode=split_mode,
+        def kernel(p_ref, vts_ref, vbts_ref, out_ref):
+            out_ref[:, :] = p_ref[:, :] + jax.lax.dot_general(
+                vts_ref[:, :], vbts_ref[:, :],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
             )
     else:
         strips = (vt, vbt)
+        km = rm
 
         def kernel(p_ref, vt_ref, vbt_ref, out_ref):
             out_ref[:, :] = p_ref[:, :] + panel_dot(
@@ -122,14 +135,11 @@ def rank_update_t(p, vt, b, *, interpret: bool = False,
                 (((0,), (0,)), ((), ())), mode=mode,
             )
 
-    n_strips = len(strips)
     sbytes = 2 if split else 4
 
     def strip_specs(row_blk, col_blk, row_map, col_map):
-        row_spec = pl.BlockSpec((rm, row_blk), row_map, memory_space=pltpu.VMEM)
-        col_spec = pl.BlockSpec((rm, col_blk), col_map, memory_space=pltpu.VMEM)
-        if split:
-            return [row_spec, row_spec, col_spec, col_spec]
+        row_spec = pl.BlockSpec((km, row_blk), row_map, memory_space=pltpu.VMEM)
+        col_spec = pl.BlockSpec((km, col_blk), col_map, memory_space=pltpu.VMEM)
         return [row_spec, col_spec]
 
     if d % 128 == 0:
@@ -137,7 +147,7 @@ def rank_update_t(p, vt, b, *, interpret: bool = False,
         for tr in (512, 256, 128):
             if d % tr:
                 continue
-            need = (4 * tr * d) * 4 + (tr + d) * rm * sbytes * (n_strips // 2)
+            need = (4 * tr * d) * 4 + (tr + d) * km * sbytes
             if need <= budget:
                 return pl.pallas_call(
                     kernel,
@@ -163,9 +173,7 @@ def rank_update_t(p, vt, b, *, interpret: bool = False,
     budget = 12 * 2**20
     tc = 256
     for cand in (4096, 2048, 1024, 512, 256):
-        if 4 * t * cand * 4 + 2 * rm * (t + cand) * sbytes * (
-            n_strips // 2
-        ) <= budget:
+        if 4 * t * cand * 4 + km * (t + cand) * sbytes <= budget:
             tc = cand
             break
     return pl.pallas_call(

@@ -40,7 +40,7 @@ from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from conan_slam_tpu.core.geometry import wrap_angle
-from conan_slam_tpu.core.linalg import PRECISION, safe_cholesky, sym
+from conan_slam_tpu.core.linalg import PRECISION, sym
 from conan_slam_tpu.filters.ekf.fastframe import coeff_frame_core
 from conan_slam_tpu.models import sensor
 from conan_slam_tpu.parallel.mesh import STATE_AXIS
@@ -59,6 +59,7 @@ def sharded_frame_update(
     wheel_base, dt, sigma_heading,
     use_heading: bool,
     axis: str = STATE_AXIS,
+    gain_wire: str = "f32",
 ):
     """One whole observation frame on the sharded joint state.
 
@@ -66,6 +67,19 @@ def sharded_frame_update(
     predict+heading sub-steps compounded into a rank-(2+3S) factor, folded
     into the batched Cholesky-form measurement update; reference hot loop
     test/main.cpp:132-200) against the unsharded state.
+
+    ``gain_wire`` selects the wire format of the (m, Dp) whitened-gain
+    all-gather — 88% of the frame's collective bytes (PARITY.md audit):
+
+      "f32" (default): exact; dist tests float32-match the fused frame.
+      "i16": per-row-scaled int16 — HALVES the dominant wire term.  The
+          strip is quantised against a psum'd global row max and BOTH sides
+          of the downdate use the DECODED values, so the downdate stays a
+          symmetric (PSD) Gram product — the asymmetric-feedback failure
+          mode of lossy covariance arithmetic (round-2/round-4 lessons)
+          is excluded by construction.  Element error <= rowmax/65534
+          (~1.5e-5 of row scale, split3-tier), far below bf16's 4e-3.
+          The mean correction keeps the exact local strip (no wire).
 
     Returns ``(x, p, nis, pose_trace)`` with ``nis`` the frame NIS per
     associated measurement and ``pose_trace`` the (S, 3) per-sub-step pose
@@ -78,7 +92,9 @@ def sharded_frame_update(
     m = 2 * nz
     dtype = p.dtype
 
-    q_chol = jnp.linalg.cholesky(q_cov)
+    from conan_slam_tpu.core.linalg import chol2
+
+    q_chol = chol2(q_cov)
     rows2 = (3 + 2 * slots[:, None] + jnp.arange(2)[None, :]).reshape(-1)
     rows131 = jnp.concatenate([jnp.arange(3, dtype=rows2.dtype), rows2])
 
@@ -168,12 +184,18 @@ def sharded_frame_update(
         s = s.reshape(nz, 2, nz, 2).at[idx, :, idx, :].add(rblocks)
         s = sym(s.reshape(m, m))
 
-        chol = safe_cholesky(s)
-        eye_m = jnp.eye(m, dtype=dtype)
-        linv = jax.scipy.linalg.solve_triangular(chol, eye_m, lower=True)
-        w1t_l = jnp.matmul(linv, pht_l.T, precision=PRECISION)  # (m, chunk)
-        lv = linv @ v
-        nis = jnp.dot(lv, lv) / jnp.maximum(
+        # S^-1 via the single-kernel sweep (ops.spd_inverse; Cholesky route
+        # on CPU meshes).  The previous chol + triangular-inverse chain here
+        # was the dominant SERIAL-tail term of the distributed frame
+        # (~140 us of blocked XLA device loops at m=128) — the serial tail,
+        # not wire, binds predicted scaling efficiency at 16+ chips
+        # (benchmarks/scaling_model.py).  Same structure as the validated
+        # single-chip multi-op path (filters.ekf.update.fused_frame_update).
+        from conan_slam_tpu.ops.spd_inverse import spd_inverse
+
+        si = spd_inverse(s)                                 # (m, m)
+        siv = si @ v
+        nis = jnp.dot(v, siv) / jnp.maximum(
             jnp.sum(mask.astype(dtype)), 1.0
         )
 
@@ -184,14 +206,29 @@ def sharded_frame_update(
             pose[jnp.clip(row_ids, 0, 2)],
             xq_l,
         )
-        x_new = xq_l + w1t_l.T @ lv
+        x_new = xq_l + pht_l @ siv
         x_new = jnp.where(
             row_ids == 2, wrap_angle(x_new), x_new
         )
 
-        # --- collective 3: the whitened gain strip; then ONE local pass
-        # over the resident covariance block ---
-        w1t_full = jax.lax.all_gather(w1t_l, axis, axis=1, tiled=True)
+        # --- collective 3: the P'H^T strip; then ONE local pass over the
+        # resident covariance block: down = pht^T S^-1 pht with BOTH sides
+        # taken from the (possibly decoded) gathered strip, so the downdate
+        # stays exactly symmetric across shards ---
+        if gain_wire == "i16":
+            amax = jax.lax.pmax(
+                jnp.max(jnp.abs(pht_l), axis=0), axis
+            )                                               # (m,) global
+            scale = jnp.maximum(amax, 1e-30) * (1.0 / 32767.0)
+            q_l = jnp.round(pht_l.T / scale[:, None]).astype(jnp.int16)
+            q_full = jax.lax.all_gather(q_l, axis, axis=1, tiled=True)
+            pht_full = q_full.astype(dtype) * scale[:, None]
+            pht_down_l = (q_l.astype(dtype) * scale[:, None]).T
+        else:
+            pht_full = jax.lax.all_gather(
+                pht_l.T, axis, axis=1, tiled=True
+            )                                               # (m, Dp)
+            pht_down_l = pht_l
         vtf_full = cmat[0][:, None] * p2_full[None, :]      # (NB, Dp)
         vtf_full = vtf_full.at[:, :3].add(cmat[1:4].T)
         p_new = (
@@ -200,7 +237,10 @@ def sharded_frame_update(
                 vloc, jnp.matmul(bmat, vtf_full, precision=PRECISION),
                 precision=PRECISION,
             )
-            - jnp.matmul(w1t_l.T, w1t_full, precision=PRECISION)
+            - jnp.matmul(
+                jnp.matmul(pht_down_l, si, precision=PRECISION),
+                pht_full, precision=PRECISION,
+            )
         )
         return x_new, p_new, nis, pose_trace
 

@@ -127,7 +127,7 @@ def dist_ekf_frame_step(
             jnp.stack(actives),
             noise.qe, obs.z, safe_slots, known, noise.re,
             cfg.wheel_base, cfg.dt_controls, cfg.sigma_heading,
-            cfg.switch_heading_known,
+            cfg.switch_heading_known, gain_wire=cfg.dist_gain_wire,
         )
         for k in range(interval):
             outs[k] = outs[k]._replace(x_est=pose_trace[k])

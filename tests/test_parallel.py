@@ -380,3 +380,72 @@ def test_sharded_sim_loop_matches_single_device_statistics():
     ate = metrics.ate_rmse(outs.x_true, outs.x_est, ~outs.done)
     assert float(ate) < 0.1, float(ate)
     assert int(carry.n_active) > 0
+
+
+def test_sharded_frame_update_i16_gain_wire_close_and_symmetric():
+    """gain_wire="i16" (half-wire quantised gain gather) must stay within
+    quantisation tolerance of the exact f32 wire AND keep the downdate
+    symmetric — the decode is shared by both Gram factors, so asym(P) must
+    not grow beyond the f32 path's float noise."""
+    from conan_slam_tpu.filters import ekf
+    from conan_slam_tpu.models import sensor
+    from conan_slam_tpu.parallel import dist_fastframe
+
+    mesh = make_mesh({STATE_AXIS: 8})
+    rng = np.random.default_rng(9)
+    cap = 30
+    d = 3 + 2 * cap
+    feats = rng.uniform(-500, 500, size=(cap, 2)).astype(np.float32)
+    state = ekf.init_state(cap, 40)
+    x0 = np.zeros((d,), np.float32)
+    x0[:3] = [5.0, -2.0, 0.4]
+    x0[3:] = feats.reshape(-1)
+    a = rng.normal(size=(d, d)).astype(np.float32) * 0.05
+    p0 = a @ a.T + np.eye(d, dtype=np.float32) * 0.1
+    state = state._replace(x=jnp.asarray(x0), p=jnp.asarray(p0),
+                           n_active=jnp.int32(cap))
+
+    q = jnp.asarray(np.diag([0.18, 0.0006]).astype(np.float32))
+    r = jnp.asarray(np.diag([0.08, 0.0024]).astype(np.float32))
+    s_steps = 6
+    vns = jnp.asarray(80.0 + rng.normal(size=(s_steps,)).astype(np.float32))
+    swans = jnp.asarray(rng.normal(size=(s_steps,)).astype(np.float32) * 0.03)
+    phis = jnp.asarray(
+        0.4 + np.cumsum(rng.normal(size=(s_steps,)).astype(np.float32) * 0.005)
+    )
+    act = jnp.ones((s_steps,), bool)
+    nz = 5
+    zp, _, _ = sensor.observe(state.pose, jnp.asarray(feats[:nz]))
+    z = jnp.asarray(
+        np.asarray(zp) + rng.normal(size=(nz, 2)).astype(np.float32) * [0.3, 0.01]
+    )
+    slots = jnp.arange(nz, dtype=jnp.int32)
+    mask = jnp.ones((nz,), bool)
+    sigma_h = 0.000175
+
+    xs, ps = dist_ekf.shard_state(mesh, state.x, state.p)
+
+    def run(wire):
+        return jax.jit(
+            lambda xs, ps: dist_fastframe.sharded_frame_update(
+                mesh, xs, ps, vns, swans, phis, act, q, z, slots, mask, r,
+                73.0, 0.01, sigma_h, True, gain_wire=wire,
+            )
+        )(xs, ps)
+
+    x_f, p_f, nis_f, _ = run("f32")
+    x_q, p_q, nis_q, _ = run("i16")
+
+    p_fn = np.asarray(p_f)[:d, :d]
+    p_qn = np.asarray(p_q)[:d, :d]
+    scale = np.abs(p_fn).max()
+    # Quantisation error bounded well below 1e-3 of the covariance scale.
+    assert np.abs(p_qn - p_fn).max() < 1e-3 * scale
+    # The mean keeps the exact local strip: tight agreement.
+    np.testing.assert_allclose(np.asarray(x_q), np.asarray(x_f),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(float(nis_q), float(nis_f), rtol=1e-4)
+    # Symmetry: the shared decode keeps the downdate Gram-symmetric.
+    asym_q = np.abs(p_qn - p_qn.T).max()
+    asym_f = np.abs(p_fn - p_fn.T).max()
+    assert asym_q <= asym_f + 1e-6, (asym_q, asym_f)
