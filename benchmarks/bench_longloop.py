@@ -94,12 +94,24 @@ def main(steps: int = 56_000, landmarks: int = N_LANDMARKS):
     # --- stage 2: dead-reckoned chain + closures + relaxation ---
     truth = jnp.asarray(outs.x_true)
     valid = jnp.asarray(~np.asarray(outs.done))
+    # Round-5 settings after a CPU sensitivity sweep (radius 100-300, gap
+    # 20-60, max_closures 256-2048, closure sigma down to 0.01 m, GN/CG
+    # budgets up to 50 x 4N): the relaxed aligned ATE saturates at ~31 m
+    # with iterations=50 / cg=4N (from 37.6 at the round-4 budget).  The
+    # residual is STRUCTURAL, not convergence or detection: closures exist
+    # only near the star tour's self-crossings, and between crossings the
+    # arc interiors are constrained only by the odometry random walk
+    # (sigma_th 0.01 rad/keyframe over ~140-keyframe arcs) — near-exact
+    # closures (sigma 0.01 m) and 9x denser closures both FAIL to beat it
+    # (the denser/stiffer graphs actually converge WORSE under block-Jacobi
+    # CG — a preconditioning limit recorded for future work).
     ccfg = ClosureConfig(odo_sigma_xy=0.5, odo_sigma_th=0.01,
                          max_closures=256, min_index_gap=60)
     t0 = time.perf_counter()
     g = simulate_odometry_graph(truth, valid, ccfg, jax.random.PRNGKey(2))
     g_opt = pg.optimize(
-        g, iterations=15, cg_iterations=g.nodes.shape[0], chordal_init=True
+        g, iterations=50, cg_iterations=4 * g.nodes.shape[0],
+        chordal_init=True,
     )
     np.asarray(g_opt.nodes)
     relax_wall = time.perf_counter() - t0

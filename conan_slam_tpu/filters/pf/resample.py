@@ -66,15 +66,32 @@ def resample(
     idx = pick(k_idx, w, n)
 
     def do(ens):
-        # Stratified/systematic indices are monotone non-decreasing (strata
-        # walk the CDF left to right).  Declaring it is semantically true
-        # but measured perf-neutral on v5e (2.87e7 vs 2.89e7 p-steps/s at
-        # N=10k) — XLA's TPU gather does not currently exploit sortedness;
-        # a streaming Pallas redistribution remains the recorded lever.
-        def take(a):
-            return jnp.take(a, idx, axis=0, indices_are_sorted=True)
-
-        pose = take(ens.pose)
+        # ONE consolidated fat-row gather instead of four thin-row gathers.
+        # The per-particle payload rows of the separate leaves are 12 B
+        # (pose) .. 480 B (pf) — TPU gathers are per-row descriptor-latency
+        # bound at those widths, and the whole-payload permutation measured
+        # ~1 ms/frame at N=10k (the PF's dominant cost, PARITY.md roofline).
+        # Packing the payload into one (N, 12 + 6K) f32 matrix makes it a
+        # single gather of contiguous ~(48 + 24K)-byte rows (768 B at K=30)
+        # — same bytes, ~4x fewer descriptors and far better DMA
+        # efficiency.  Indices stay monotone (strata walk the CDF left to
+        # right); indices_are_sorted is semantically true (perf-neutral on
+        # current XLA, kept as a hint).
+        k = ens.xf.shape[1]
+        packed = jnp.concatenate(
+            [
+                ens.pose,                                    # (N, 3)
+                ens.pose_cov.reshape(n, 9),
+                ens.xf.reshape(n, 2 * k),
+                ens.pf.reshape(n, 4 * k),
+            ],
+            axis=1,
+        )
+        out = jnp.take(packed, idx, axis=0, indices_are_sorted=True)
+        pose = out[:, :3]
+        pose_cov = out[:, 3:12].reshape(n, 3, 3)
+        xf = out[:, 12 : 12 + 2 * k].reshape(n, k, 2)
+        pf = out[:, 12 + 2 * k :].reshape(n, k, 2, 2)
         if roughening > 0.0:
             from conan_slam_tpu.core.geometry import wrap_angle
 
@@ -85,9 +102,9 @@ def resample(
         return ParticleEnsemble(
             log_w=jnp.full((n,), -jnp.log(float(n)), dtype=ens.log_w.dtype),
             pose=pose,
-            pose_cov=take(ens.pose_cov),
-            xf=take(ens.xf),
-            pf=take(ens.pf),
+            pose_cov=pose_cov,
+            xf=xf,
+            pf=pf,
             n_active=ens.n_active,
             table=ens.table,
         )

@@ -48,18 +48,27 @@ def build_graph(
     valid,
     cfg: ClosureConfig,
     key,
+    det_nodes=None,
+    init_nodes=None,
 ) -> PoseGraph:
     """Assemble a pose graph from a (T, 3) trajectory.
 
     ``est_traj`` provides node initial values and odometry edges;
     ``true_traj`` + noise provides closure measurements (simulated matcher).
     ``valid`` masks post-termination steps.
-    """
+
+    ``det_nodes`` (optional, keyframe-rate (T', 3)) overrides the positions
+    used for REVISIT DETECTION — pass the previous round's relaxed nodes
+    for the realistic iterated pipeline (place recognition against the
+    current estimate instead of the ground-truth oracle).  ``init_nodes``
+    similarly overrides the node initial values."""
     stride = cfg.keyframe_stride
     kf_est = est_traj[::stride]
     kf_true = true_traj[::stride]
     kf_valid = valid[::stride]
     t = kf_est.shape[0]
+    if init_nodes is not None:
+        kf_est = init_nodes
 
     # Odometry edges between consecutive keyframes.
     e_odo = jnp.stack(
@@ -74,13 +83,17 @@ def build_graph(
     )
     odo_info = jnp.tile(jnp.diag(w_odo)[None], (t - 1, 1, 1))
 
-    # Closure edges from revisit detection on the *true* keyframe positions:
-    # place recognition sees the actual world (appearance), not the drifted
-    # estimate — detecting on the estimate would hide exactly the revisits
-    # that matter (large-drift returns to a known place).  The measurement is
-    # still the simulated scan-match (true relative pose + matcher noise).
+    # Closure edges from revisit detection.  Default: the *true* keyframe
+    # positions — place recognition sees the actual world (appearance), not
+    # the drifted estimate, so detecting on the estimate would hide exactly
+    # the revisits that matter (large-drift returns to a known place).
+    # ``det_nodes`` switches to estimate-based detection for the realistic
+    # iterated pipeline (relax_trajectory rounds > 1): each relaxation pulls
+    # the estimate closer to truth, so re-detection recovers closures the
+    # drifted initial estimate missed.  The MEASUREMENT is always the
+    # simulated scan-match (true relative pose + matcher noise).
     pairs, pair_mask = detect_loop_closures(
-        kf_true,
+        kf_true if det_nodes is None else det_nodes,
         kf_valid,
         max_candidates=cfg.max_closures,
         radius=cfg.radius,
@@ -211,16 +224,43 @@ def relax_trajectory(
     *,
     iterations: int = 10,
     cg_iterations: int | None = None,
+    rounds: int = 1,
+    detect_on_estimate: bool = False,
 ):
     """Build + optimise the pose graph; returns (graph, optimised graph).
 
     ``cg_iterations`` defaults to the keyframe count: corrections propagate
     roughly one node per CG iteration along the odometry chain, so the
     iteration budget must scale with the graph (block-Jacobi preconditioning
-    in ``optimize`` handles the metre/radian unit heterogeneity)."""
-    g = build_graph(est_traj, true_traj, valid, cfg, key)
-    if cg_iterations is None:
-        cg_iterations = max(60, g.nodes.shape[0])
-    return g, optimize(
-        g, iterations=iterations, cg_iterations=cg_iterations, chordal_init=True
+    in ``optimize`` handles the metre/radian unit heterogeneity).
+
+    ``rounds`` > 1 iterates DETECT -> RELAX: each round re-detects closures
+    and re-optimises from the previous round's relaxed nodes.  With
+    ``detect_on_estimate=True`` detection runs against the current estimate
+    (the realistic no-oracle pipeline) — round 1 only finds revisits where
+    the drifted estimate happens to be near-correct; relaxation pulls the
+    trajectory toward truth, so later rounds recover progressively more
+    closures.  With oracle (truth-based) detection extra rounds only
+    re-linearise, which ``iterations`` already covers."""
+    det = (
+        est_traj[:: cfg.keyframe_stride] if detect_on_estimate else None
     )
+    g_opt = None
+    for r in range(max(1, rounds)):
+        g = build_graph(
+            est_traj, true_traj, valid, cfg, jax.random.fold_in(key, r),
+            det_nodes=det,
+            init_nodes=None if g_opt is None else g_opt.nodes,
+        )
+        if cg_iterations is None:
+            cg_iterations = max(60, g.nodes.shape[0])
+        g_opt = optimize(
+            g, iterations=iterations, cg_iterations=cg_iterations,
+            chordal_init=(g_opt is None),
+        )
+        if detect_on_estimate:
+            det = g_opt.nodes
+        elif rounds > 1 and r == 0:
+            # Oracle detection is round-invariant; nothing more to find.
+            break
+    return g, g_opt

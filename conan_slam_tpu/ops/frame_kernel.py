@@ -1188,7 +1188,11 @@ def _frame_step_big(p, x, rows_full, subs, qc, zin, rsc, nblk, x0rows,
         s_steps, wheel_base, dt, sigma_heading, use_heading, interpret,
     )
     gmat, mmid = _frame_gm(pht, si, k4[:4, :4], p[2:3, :], mp)
-    p_out = rank_update_t(p, gmat, mmid, interpret=interpret)
+    # KNOWN-association consumer (same class the long-horizon ate gate
+    # validates for the resident schedule): the product tier applies;
+    # the gated path never reaches this function.
+    p_out = rank_update_t(p, gmat, mmid, interpret=interpret,
+                          mode=_PANEL_MODE)
     return FrameStep(p=p_out, x=xn[0], pose_trace=pt, nis=nis[0, 0])
 
 

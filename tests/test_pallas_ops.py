@@ -567,3 +567,43 @@ def test_frame_step_pair_matches_sequential_frames():
             np.asarray(pair.nis),
             np.asarray([float(fa.nis), float(fb.nis)]), rtol=1e-3, atol=1e-5,
         )
+
+
+def test_fused_frame_update_gram_tier_matches_standard():
+    # The big-D gated path's signed-Gram rewrite (chol(S^-1) whitening +
+    # closed-form eigenfactors of the structured frame middle B) must agree
+    # with the standard blockdiag middle-matrix form — same update in exact
+    # arithmetic.  B gets the REAL fastframe structure the closed form
+    # assumes: [[p22, 1], [1, 0]] corner + nonnegative diagonal.
+    from conan_slam_tpu.filters.ekf.update import fused_frame_update
+
+    state, vmat, _bmat_unused, obs, slots, mask, r_cov = _mega_setup(seed=29)
+    nb = vmat.shape[1]
+    rng = np.random.default_rng(31)
+    bm = np.zeros((nb, nb), np.float32)
+    bm[0, 0] = 0.37
+    bm[0, 1] = bm[1, 0] = 1.0
+    bm[np.arange(2, nb), np.arange(2, nb)] = np.abs(
+        rng.normal(size=nb - 2)
+    ).astype(np.float32)
+    bmat = jnp.asarray(bm)
+    ref_state, ref_nis = fused_frame_update(
+        state, vmat, bmat, obs, slots, mask, r_cov,
+        use_pallas=False, return_nis=True, _force_gram=False,
+    )
+    out_state, out_nis = fused_frame_update(
+        state, vmat, bmat, obs, slots, mask, r_cov,
+        use_pallas=False, return_nis=True, _force_gram=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_state.x), np.asarray(ref_state.x),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_state.p), np.asarray(ref_state.p),
+        rtol=1e-3, atol=2e-4,
+    )
+    np.testing.assert_allclose(float(out_nis), float(ref_nis), rtol=1e-4)
+    # The Gram form must not degrade symmetry.
+    pn = np.asarray(out_state.p)
+    assert np.abs(pn - pn.T).max() < 5e-5

@@ -184,3 +184,65 @@ def test_detect_loop_closures_finds_revisit():
         assert j - i >= 15
         d = np.linalg.norm(nodes[i, :2] - nodes[j, :2])
         assert d < 30.0
+
+
+def test_iterated_redetection_recovers_closures_without_oracle():
+    # relax_trajectory(rounds>1, detect_on_estimate=True): detection against
+    # the DRIFTED estimate misses revisits in round 1; relaxation pulls the
+    # trajectory toward truth and later rounds recover them.  The iterated
+    # no-oracle pipeline must (a) find more closures than round 1 alone and
+    # (b) approach the oracle-detection accuracy.
+    import jax
+
+    from conan_slam_tpu.graph.frontend import ClosureConfig, relax_trajectory
+
+    rng = np.random.default_rng(3)
+    # A figure-eight-ish tour revisiting the origin region several times.
+    t_steps = 4000
+    ang = np.linspace(0, 4 * np.pi, t_steps)
+    xy = np.stack([600 * np.sin(ang), 300 * np.sin(2 * ang)], axis=1)
+    th = np.arctan2(*np.gradient(xy, axis=0).T[::-1])
+    truth = jnp.asarray(
+        np.concatenate([xy, th[:, None]], axis=1).astype(np.float32)
+    )
+    valid = jnp.ones((t_steps,), bool)
+    # Drifted estimate: truth + a large smooth drift (beyond the detection
+    # radius over the second half).
+    drift = np.cumsum(rng.normal(size=(t_steps, 3)) *
+                      [1.2, 1.2, 0.0004], axis=0)
+    est = jnp.asarray((np.asarray(truth) + drift).astype(np.float32))
+
+    cfg = ClosureConfig(keyframe_stride=20, radius=40.0, min_index_gap=15,
+                        max_closures=512, odo_sigma_xy=0.3,
+                        odo_sigma_th=0.005)
+    key = jax.random.PRNGKey(0)
+
+    g1, g1_opt = relax_trajectory(
+        est, truth, valid, cfg, key, iterations=12,
+        rounds=1, detect_on_estimate=True,
+    )
+    g3, g3_opt = relax_trajectory(
+        est, truth, valid, cfg, key, iterations=12,
+        rounds=3, detect_on_estimate=True,
+    )
+    go, go_opt = relax_trajectory(
+        est, truth, valid, cfg, key, iterations=12, rounds=1,
+    )
+    n = g1.nodes.shape[0]
+    ncl1 = int(np.asarray(g1.edge_mask)[n - 1:].sum())
+    ncl3 = int(np.asarray(g3.edge_mask)[n - 1:].sum())
+    nclo = int(np.asarray(go.edge_mask)[n - 1:].sum())
+    assert ncl3 > ncl1, (ncl1, ncl3)
+
+    from conan_slam_tpu.runner import metrics
+
+    kf_true = np.asarray(truth)[::cfg.keyframe_stride][:n]
+    kf_valid = np.asarray(valid)[::cfg.keyframe_stride][:n]
+
+    def ate(nodes):
+        return float(metrics.aligned_ate_rmse(
+            jnp.asarray(kf_true), nodes, jnp.asarray(kf_valid)))
+
+    a1, a3, ao = ate(g1_opt.nodes), ate(g3_opt.nodes), ate(go_opt.nodes)
+    assert a3 < a1, (a1, a3)
+    assert a3 < 1.5 * ao + 0.5, (a3, ao)
