@@ -322,79 +322,34 @@ def fused_frame_update(
     # small (r, D) vmat transpose is materialised.
     nb = bmat.shape[0]
     m = s.shape[0]
-    on_tpu = jax.default_backend() in ("tpu", "axon")
-    use_gram = (
-        (use_pallas and on_tpu and d >= 4096)
-        if _force_gram is None else _force_gram
-    )
-    if use_gram:
-        # SIGNED-GRAM fast tier for the big-D gated path (VERDICT r4 task
-        # 2): the fp32-contract pass was 12.1 of the 13.4 ms frame at the
-        # 10k-landmark shape, and the plain split tier is banned here —
-        # its ASYMMETRIC truncation error feeds back through P and flips
-        # associations (recorded round-4 failure, ATE 0.152 -> 11.4 m).
-        # Rewriting the update as G^T diag(+-1) G makes the split error
-        # SYMMETRIC BY CONSTRUCTION: rank_update_t with a diagonal middle
-        # stacks the SAME bf16 hi/lo rounding of G on both operand sides,
-        # so (i, j) and (j, i) accumulate identical term sets (asymmetry
-        # stays at fp32-accumulation noise ~1e-7, the HIGHEST tier's own
-        # level) while the product runs at the 3-pass bf16 rate.
-        #   measurement: -pht^T S^-1 pht = -(L^T pht)^T (L^T pht), si=LL^T
-        #   factors:     V B V^T = Wp^T Wp - c Vt^T Vt with
-        #                Wp = chol(B + cI)^T V^T and c a Gershgorin bound
-        #                (B is indefinite; the shift avoids a per-frame
-        #                eigendecomposition).
-        # Validated end-to-end: gated_full canary (config-2 uses the
-        # megakernel path, unchanged) + full 25k-step 10k-landmark tour.
-        from conan_slam_tpu.core.linalg import safe_cholesky as _chol
-
-        # si is PSD only up to sweep rounding; a RELATIVE diagonal jitter
-        # keeps the whitening Cholesky strictly PD (si entries span
-        # ~1e-6..1e5 across range^2/bearing^2 units, so an absolute jitter
-        # is meaningless).  A failed (zeroed) safe_cholesky would silently
-        # drop the measurement downdate.
-        dsi = jnp.diagonal(si)
-        l_si = _chol(si + 1e-5 * jnp.diag(jnp.abs(dsi)))    # (m, m)
-        w_meas = jnp.matmul(l_si.T, phtT, precision=PRECISION)
-        # The factor middle B has the EXACT structure
-        # [[p22, 1], [1, 0]] (+) diag(>= 0) (fastframe.coeff_frame_core:
-        # bmat rows 260-268 — corner + unit process-noise / r_head gains),
-        # so its eigendecomposition is closed form: corner eigenvalues
-        # (p22 +- sqrt(p22^2 + 4))/2 with eigenvectors [lambda, 1].  This
-        # keeps the signed-Gram factor magnitudes at B's own scale.
-        # MEASURED NEGATIVE RESULT (round 5): a structure-agnostic
-        # Gershgorin SHIFT factorization (chol(B + cI) Gram minus
-        # c V V^T) detonated the 10k course (ATE 3.3e8 m): the two
-        # shifted terms reach ~c|V|^2 ~ 1e6 at this shape (heading x
-        # 2000 m lever arms in V) and their split3 rounding injects
-        # O(10) absolute error into P per frame.  Exact small-eig
-        # factors have no such cancellation.
-        vmt = vmat.T                                        # (nb, D)
-        p22 = bmat[0, 0]
-        disc = jnp.sqrt(p22 * p22 + 4.0)
-        lp = 0.5 * (p22 + disc)                             # > 0
-        lm = 0.5 * (p22 - disc)                             # < 0
-        np_ = jax.lax.rsqrt(lp * lp + 1.0)
-        nm_ = jax.lax.rsqrt(lm * lm + 1.0)
-        w_p = (jnp.sqrt(lp) * np_) * (lp * vmt[0] + vmt[1])
-        w_m = (jnp.sqrt(-lm) * nm_) * (lm * vmt[0] + vmt[1])
-        d_rest = jnp.diagonal(bmat)[2:]                     # >= 0
-        w_rest = jnp.sqrt(jnp.maximum(d_rest, 0.0))[:, None] * vmt[2:]
-        wa = jnp.concatenate(
-            [w_p[None], w_m[None], w_rest, w_meas], axis=0
-        )
-        signs = jnp.concatenate([
-            jnp.ones((1,), wa.dtype),
-            -jnp.ones((1,), wa.dtype),
-            jnp.ones((nb - 2,), wa.dtype),
-            -jnp.ones((m,), wa.dtype),
-        ])
-        p = rank_update_t(state.p, wa, jnp.diag(signs), mode="split3")
+    # Big-D gated rank pass precision (VERDICT r4 tasks 2/8): the fp32-
+    # contract (HIGHEST) pass is 12.1 of the 13.4 ms frame at the 10k-
+    # landmark shape.  MEASURED NEGATIVE RESULTS (rounds 4-5, full
+    # 25k-step 10k-landmark course each):
+    #   split3/4 (16-bit splits, round 4):   ATE 11.4 m — asymmetric error.
+    #   signed-Gram split3 (round 5):        ATE nan — symmetry is NOT the
+    #       binding constraint; mapping from scratch collapses a fresh
+    #       landmark's ~35 m prior (1 deg bearing at 2000 m) to ~0.1 m in
+    #       ONE observation (ratio ~1e-4), so a 2^-16-relative product
+    #       error exceeds the posterior and variances go negative.
+    #   "hi6" (3-way bf16, ~22 effective mantissa bits, 6 stacked passes,
+    #       ~0.75x HIGHEST cost, round 5): numerically stable (no nan,
+    #       471 vs 356 steps/s) but the association GATES are more
+    #       sensitive than the variances: mapped count 614 -> 226 and ATE
+    #       0.213 -> 0.726 m — the NIS reject/augment thresholds flip on
+    #       sub-percent covariance perturbations.
+    # CONCLUSION: data association under mapping-from-scratch requires the
+    # full fp32 product; the tier stays HIGHEST by default.  hi6 remains
+    # available (_force_gram=True / rank_update_t mode="hi6") for
+    # workloads whose gates tolerate it.
+    use_hi6 = False if _force_gram is None else _force_gram
+    vt = jnp.concatenate([vmat.T, phtT], axis=0)                 # (nb+2NZ, D)
+    bbig = jnp.zeros((nb + m, nb + m), dtype=bmat.dtype)
+    bbig = bbig.at[:nb, :nb].set(bmat)
+    bbig = bbig.at[nb:, nb:].set(-si)
+    if use_hi6:
+        p = rank_update_t(state.p, vt, bbig, mode="hi6")
     else:
-        vt = jnp.concatenate([vmat.T, phtT], axis=0)             # (nb+2NZ, D)
-        bbig = jnp.zeros((nb + m, nb + m), dtype=bmat.dtype)
-        bbig = bbig.at[:nb, :nb].set(bmat)
-        bbig = bbig.at[nb:, nb:].set(-si)
         apply = rank_update_t if use_pallas else rank_update_t_reference
         p = apply(state.p, vt, bbig)
     new_state = state._replace(x=x, p=p)

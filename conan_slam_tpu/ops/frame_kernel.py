@@ -90,6 +90,7 @@ _PREC_BY_MODE = {
     "highest": jax.lax.Precision.HIGHEST,
     "split3": jax.lax.Precision.DEFAULT,
     "split4": jax.lax.Precision.DEFAULT,
+    "hi6": jax.lax.Precision.DEFAULT,
 }
 _PANEL_PRECISION = _PREC_BY_MODE[_PANEL_MODE]
 
@@ -125,6 +126,22 @@ def split_hi_lo(a):
     ah = a.astype(jnp.bfloat16)
     al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
     return ah, al
+
+
+def split_hml(a):
+    """THREE-way bf16 decomposition: h + m + l carries ~24 mantissa bits —
+    full float32 significance.  Feeds the "hi6" product tier (6 stacked
+    bf16 passes with error ~2^-24): the fastest tier that survives the
+    gated mapping-from-scratch covariance collapse, where a fresh
+    landmark's variance shrinks ~1e-4x in one observation and any 16-bit
+    split's 2^-16 product error exceeds the posterior itself (measured:
+    both split3 AND the symmetric signed-Gram split3 detonate the 10k
+    course; the failure is REPRESENTATION precision, not asymmetry)."""
+    ah = a.astype(jnp.bfloat16)
+    r1 = a - ah.astype(jnp.float32)
+    am = r1.astype(jnp.bfloat16)
+    al = (r1 - am.astype(jnp.float32)).astype(jnp.bfloat16)
+    return ah, am, al
 
 
 def panel_dot_split(ah, al, bh, bl, dimension_numbers, mode="split4"):

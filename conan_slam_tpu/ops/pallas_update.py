@@ -69,9 +69,10 @@ def rank_update_t(p, vt, b, *, interpret: bool = False,
         return rank_update_t_reference(p, vt, b)
 
     from conan_slam_tpu.ops.frame_kernel import (
+        _SAFE_MODE,
         panel_dot,
-        panel_split_enabled,
         split_hi_lo,
+        split_hml,
     )
 
     d = p.shape[0]
@@ -97,24 +98,35 @@ def rank_update_t(p, vt, b, *, interpret: bool = False,
     # decomposition happens ONCE here (XLA level) and the kernel consumes
     # four bf16 strips — no per-panel conversion of loop-invariant operands,
     # and half the strip DMA.
-    split = panel_split_enabled(mode)
+    split_mode = _SAFE_MODE if mode is None else mode
+    split = split_mode in ("split3", "split4", "hi6")
     if split:
-        from conan_slam_tpu.ops.frame_kernel import _SAFE_MODE
-
-        split_mode = _SAFE_MODE if mode is None else mode
-        vt_h, vt_l = split_hi_lo(vt)
-        vbt_h, vbt_l = split_hi_lo(vbt)
         # K-STACKED split product (measured -13.5 us/pass at rank 288,
         # D=2304 vs the multi-dot form): the cross terms ride ONE matmul's
         # K dimension — [ah; ah; al] x [bh; bl; bh] for split3 (+ [al]/[bl]
         # for split4) — so the MXU accumulates them internally and the
         # per-panel f32 temps + VPU adds of the 3-dot form disappear.
-        if split_mode == "split3":
-            vt_s = jnp.concatenate([vt_h, vt_h, vt_l], axis=0)
-            vbt_s = jnp.concatenate([vbt_h, vbt_l, vbt_h], axis=0)
+        # "hi6" is the fp32-ACCURATE member: 3-way bf16 operands (24
+        # mantissa bits) with the 6 cross terms >= 2^-24 stacked — ~0.75x
+        # the HIGHEST tier's cost with float32-level error, for consumers
+        # (the gated path) where 16-bit splits are arithmetically excluded
+        # (see split_hml).
+        if split_mode == "hi6":
+            a_h, a_m, a_l = split_hml(vt)
+            b_h, b_m, b_l = split_hml(vbt)
+            vt_s = jnp.concatenate([a_h, a_h, a_m, a_h, a_l, a_m], axis=0)
+            vbt_s = jnp.concatenate([b_h, b_m, b_h, b_l, b_h, b_m], axis=0)
         else:
-            vt_s = jnp.concatenate([vt_h, vt_h, vt_l, vt_l], axis=0)
-            vbt_s = jnp.concatenate([vbt_h, vbt_l, vbt_h, vbt_l], axis=0)
+            vt_h, vt_l = split_hi_lo(vt)
+            vbt_h, vbt_l = split_hi_lo(vbt)
+            if split_mode == "split3":
+                vt_s = jnp.concatenate([vt_h, vt_h, vt_l], axis=0)
+                vbt_s = jnp.concatenate([vbt_h, vbt_l, vbt_h], axis=0)
+            else:
+                vt_s = jnp.concatenate([vt_h, vt_h, vt_l, vt_l], axis=0)
+                vbt_s = jnp.concatenate(
+                    [vbt_h, vbt_l, vbt_h, vbt_l], axis=0
+                )
         strips = (vt_s, vbt_s)
         km = vt_s.shape[0]
 

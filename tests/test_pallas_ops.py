@@ -569,24 +569,48 @@ def test_frame_step_pair_matches_sequential_frames():
         )
 
 
-def test_fused_frame_update_gram_tier_matches_standard():
-    # The big-D gated path's signed-Gram rewrite (chol(S^-1) whitening +
-    # closed-form eigenfactors of the structured frame middle B) must agree
-    # with the standard blockdiag middle-matrix form — same update in exact
-    # arithmetic.  B gets the REAL fastframe structure the closed form
-    # assumes: [[p22, 1], [1, 0]] corner + nonnegative diagonal.
+def test_hi6_tier_survives_covariance_collapse():
+    # The gated-path failure mode distilled: P_post = P - W^T W where the
+    # downdate cancels ~all of P (a fresh far landmark observed once,
+    # prior/posterior ratio ~1e-4).  16-bit split tiers' ~2^-16 product
+    # error exceeds the posterior; the 3-way "hi6" tier (24 mantissa bits)
+    # must hold fp32-level accuracy.  float64 oracle.
+    from conan_slam_tpu.ops.pallas_update import rank_update_t
+
+    rng = np.random.default_rng(17)
+    d, r = 256, 64
+    w64 = rng.normal(size=(r, d)).astype(np.float64) * 35.0   # ~fresh sigma
+    gram = w64.T @ w64
+    p64 = gram * (1.0 + 1e-4) + np.eye(d) * 0.05
+    ref = p64 - gram                                          # ~1e-4 * gram
+    p32 = jnp.asarray(p64.astype(np.float32))
+    w32 = jnp.asarray(w64.astype(np.float32))
+    neg_eye = jnp.asarray(-np.eye(r, dtype=np.float32))
+
+    scale = np.abs(ref).max()
+    errs = {}
+    for mode in ("hi6", "split3"):
+        out = np.asarray(
+            rank_update_t(p32, w32, neg_eye, mode=mode, interpret=True),
+            np.float64,
+        )
+        errs[mode] = np.abs(out - ref).max() / scale
+    # hi6 carries ~21-23 effective mantissa bits through the product
+    # (measured ~8e-3 of the collapsed result on this distillation);
+    # split3 is ~6x worse and detonates the full 10k course (ATE nan).
+    # hi6 itself stays numerically stable end-to-end but still perturbs
+    # the association GATES (mapped 614 -> 226 on the 10k course), so the
+    # gated path defaults to HIGHEST — see fused_frame_update.
+    assert errs["hi6"] < 2e-2, errs
+    assert errs["split3"] > 3 * errs["hi6"], errs
+
+
+def test_fused_frame_update_hi6_branch_matches_standard():
+    # The big-D gated branch (hi6 fast tier) reduces to the same algebra —
+    # on CPU both route through the exact reference rank update.
     from conan_slam_tpu.filters.ekf.update import fused_frame_update
 
-    state, vmat, _bmat_unused, obs, slots, mask, r_cov = _mega_setup(seed=29)
-    nb = vmat.shape[1]
-    rng = np.random.default_rng(31)
-    bm = np.zeros((nb, nb), np.float32)
-    bm[0, 0] = 0.37
-    bm[0, 1] = bm[1, 0] = 1.0
-    bm[np.arange(2, nb), np.arange(2, nb)] = np.abs(
-        rng.normal(size=nb - 2)
-    ).astype(np.float32)
-    bmat = jnp.asarray(bm)
+    state, vmat, bmat, obs, slots, mask, r_cov = _mega_setup(seed=29)
     ref_state, ref_nis = fused_frame_update(
         state, vmat, bmat, obs, slots, mask, r_cov,
         use_pallas=False, return_nis=True, _force_gram=False,
@@ -596,14 +620,7 @@ def test_fused_frame_update_gram_tier_matches_standard():
         use_pallas=False, return_nis=True, _force_gram=True,
     )
     np.testing.assert_allclose(
-        np.asarray(out_state.x), np.asarray(ref_state.x),
-        rtol=1e-4, atol=1e-4,
-    )
-    np.testing.assert_allclose(
         np.asarray(out_state.p), np.asarray(ref_state.p),
-        rtol=1e-3, atol=2e-4,
+        rtol=1e-4, atol=1e-5,
     )
-    np.testing.assert_allclose(float(out_nis), float(ref_nis), rtol=1e-4)
-    # The Gram form must not degrade symmetry.
-    pn = np.asarray(out_state.p)
-    assert np.abs(pn - pn.T).max() < 5e-5
+    np.testing.assert_allclose(float(out_nis), float(ref_nis), rtol=1e-5)
