@@ -1205,11 +1205,18 @@ def _frame_step_big(p, x, rows_full, subs, qc, zin, rsc, nblk, x0rows,
         s_steps, wheel_base, dt, sigma_heading, use_heading, interpret,
     )
     gmat, mmid = _frame_gm(pht, si, k4[:4, :4], p[2:3, :], mp)
-    # KNOWN-association consumer (same class the long-horizon ate gate
-    # validates for the resident schedule): the product tier applies;
-    # the gated path never reaches this function.
-    p_out = rank_update_t(p, gmat, mmid, interpret=interpret,
-                          mode=_PANEL_MODE)
+    # SAFE tier, NOT the split product: this big-D path serves
+    # known-association MAPPING-FROM-SCRATCH (bench_longloop: fresh
+    # landmarks founded at 2000 m collapse ~1e-4x on first observation),
+    # where the variance-collapse precision constraint documented for the
+    # gated path (filters.ekf.update) applies regardless of association
+    # mode.  No long-horizon gate validates a fast tier for THIS consumer
+    # (the 5k from-scratch course diverges at every tier — the pose-graph
+    # stage is the designed answer there — so it cannot arbitrate tiers);
+    # the split tier is only validated for steady-state tracking (the
+    # resident kernel's 9600-step ate gate and the frame-pair path, which
+    # requires enable_augment=False).
+    p_out = rank_update_t(p, gmat, mmid, interpret=interpret)
     return FrameStep(p=p_out, x=xn[0], pose_trace=pt, nis=nis[0, 0])
 
 
