@@ -50,7 +50,10 @@ from conan_slam_tpu.ops.spd_inverse import sweep_ref_inverse
 # (fixed-at-startup debug knob, not a live tunable).
 import os as _os
 
-_FK_VMEM_BUDGET = int(_os.environ.get("FK_VMEM_BUDGET_MB", "14")) * 2**20
+# 15 MiB default (of the 16 MiB scoped limit): with the round-5 K-stacked
+# split scratches the resident frame schedule fits tr=192 at the bench
+# shape (measured 86.8 vs 88.0 us/frame at tr=128; Mosaic-verified fit).
+_FK_VMEM_BUDGET = int(_os.environ.get("FK_VMEM_BUDGET_MB", "15")) * 2**20
 
 # Precision of the O(D^2) panel rank-update matmuls (wsi / down).  Mosaic
 # lowers exactly two dot tiers: HIGHEST (#tpu.contract_precision<fp32>) and
@@ -1237,16 +1240,24 @@ def _pick_framestep_tile(d: int, mp: int, rp: int) -> int:
     budget = _FK_VMEM_BUDGET
     # Rows-of-D resident: prows (rp) + the step-0 f32 pht temp (mp) + the
     # K-stacked split scratch (d, nT*mp) bf16 = nT/2*mp f32-equivalent
-    # (<= 2mp at split4) + fr (16) + m8 (8) + x0/xn (2) + the lane-padded
-    # p2 column (128).
-    fixed = (rp + 3 * mp + mp // 2 + 16 + 8 + 2 + 128) * d * 4
+    # (1.5mp at split3, 2mp at split4; mp f32 when not split) + fr (16) +
+    # m8 (8) + x0/xn (2) + the lane-padded p2 column (128).
+    if _PANEL_MODE == "split3":
+        scratch_rows = mp + mp // 2
+    elif _PANEL_MODE == "split4":
+        scratch_rows = 2 * mp
+    else:
+        scratch_rows = mp
+    fixed = (rp + mp + scratch_rows + 16 + 8 + 2 + 128) * d * 4
     fixed += (4 * mp * mp + rp * rp + 2 * mp * rp) * 4
     fixed += (2 * mp * rp + mp * mp) * 4
     fixed += (2 * rp + mp // 2 * 8 + 16 * rp) * 4
-    for cand in (512, 256, 128):
+    # Per-panel: double-buffered (tr, D) in/out + the down temp + the
+    # stacked wsi/w3 temps (~4mp lanes).
+    for cand in (512, 384, 256, 192, 128):
         if d % cand:
             continue
-        if fixed + cand * (5 * d + mp) * 4 <= budget:
+        if fixed + cand * (5 * d + 4 * mp) * 4 <= budget:
             return cand
     return 0
 
