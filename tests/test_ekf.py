@@ -465,3 +465,35 @@ def test_chunked_driver_matches_oneshot():
     a1 = float(metrics.ate_rmse(o1.x_true, o1.x_est, ~o1.done))
     a2 = float(metrics.ate_rmse(o2.x_true, o2.x_est, ~o2.done))
     assert np.isfinite(a2) and abs(a1 - a2) < 0.5, (a1, a2)
+
+
+def test_frame_pair_driver_matches_per_frame_driver():
+    # cfg.frame_pair (one covariance pass per TWO frames) must reproduce the
+    # per-frame precomputed driver exactly on the fallback path (CPU): the
+    # pair wrapper degenerates to two sequential fused frame steps, so
+    # outputs and final state are bit-identical.
+    import numpy as np
+
+    from conan_slam_tpu.filters import ekf as ekf_mod
+    from conan_slam_tpu.runner.loop import (
+        precompute_rollout,
+        run_ekf_slam_precomputed,
+    )
+    from conan_slam_tpu.sim.world import default_world
+
+    world = default_world()
+    key = jax.random.PRNGKey(3)
+    state0 = ekf_mod.init_state_with_map(world.landmarks, sigma0=1.0)
+    base = SlamConfig(enable_augment=False)
+    roll = precompute_rollout(world, base, 1200)
+    outs = {}
+    for pair in (False, True):
+        cfg = base.replace(frame_pair=pair)
+        st, o = run_ekf_slam_precomputed(
+            world, cfg, key, n_steps=1200, init_state=state0,
+            precomputed=roll,
+        )
+        outs[pair] = (np.asarray(o.x_est), np.asarray(o.consistency),
+                      np.asarray(st.x), np.asarray(st.p))
+    for a, b in zip(outs[False], outs[True]):
+        np.testing.assert_array_equal(a, b)
